@@ -1,0 +1,18 @@
+"""Test configuration.
+
+Forces the CPU backend (the axon TPU plugin otherwise grabs every op and
+round-trips it over the network tunnel). Multi-device sharding tests spawn a
+subprocess with ``--xla_force_host_platform_device_count=8`` (see
+``tests/test_sharding.py``) so the main process keeps fast single-device
+compiles — this box has one CPU core and XLA compile times dominate.
+"""
+
+import os
+import sys
+
+# NOTE: on this image the axon TPU plugin ignores JAX_PLATFORMS;
+# JAX_PLATFORM_NAME does force the CPU backend.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,309 @@
+"""Exact negacyclic polynomial multiplication mod 2^64 via CRT-NTT.
+
+The TPU-native replacement for the reference's f64 FFT path: polynomial
+products over Z_{2^64}[X]/(X^N+1) are computed exactly with number-theoretic
+transforms over a set of ~30-bit primes and CRT (Garner) reconstruction with
+sign correction — the same mathematical scheme as the reference's
+``tfhe-ntt`` ``native64::Plan32`` (``tfhe-ntt/src/native64.rs:16-140``,
+prime constants ``tfhe-ntt/src/lib.rs:457-461``), chosen here because all
+butterfly arithmetic fits 64-bit intermediates (and, in the optimized Pallas
+path, u32 lanes with 16-bit limb products).
+
+Transform structure: forward = Gentleman–Sande (DIF) stages, inverse = the
+exact stage-by-stage unwind (CT butterflies with inverse twiddles, applied in
+reverse stage order), so no bit-reversal permutation is ever materialized;
+the pointwise (NTT) domain is the DIF output order. Negacyclic wrap is
+handled by psi-twisting with a 2N-th root of unity.
+
+Everything is vectorized over arbitrary leading batch dims and jittable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+# The five ~30-bit NTT-friendly primes of tfhe-ntt native64::Plan32
+# (tfhe-ntt/src/lib.rs:457-461). p - 1 is divisible by 2^16 for each, so
+# negacyclic transforms are supported for N up to 2^15.
+PRIMES32: tuple[int, ...] = (
+    0x3F5A0001,
+    0x3F5D0001,
+    0x3F760001,
+    0x3F820001,
+    0x3FAC0001,
+)
+
+
+def _pow_mod(b: int, e: int, p: int) -> int:
+    return pow(b, e, p)
+
+
+def _find_generator(p: int) -> int:
+    """Smallest generator of (Z/p)^* (p prime)."""
+    factors = []
+    m = p - 1
+    d = 2
+    while d * d <= m:
+        if m % d == 0:
+            factors.append(d)
+            while m % d == 0:
+                m //= d
+        d += 1
+    if m > 1:
+        factors.append(m)
+    for g in range(2, p):
+        if all(_pow_mod(g, (p - 1) // f, p) != 1 for f in factors):
+            return g
+    raise ValueError("no generator found")
+
+
+@functools.lru_cache(maxsize=None)
+def _psi_root(p: int, order: int) -> int:
+    """A primitive ``order``-th root of unity mod p."""
+    assert (p - 1) % order == 0, (p, order)
+    g = _find_generator(p)
+    psi = _pow_mod(g, (p - 1) // order, p)
+    assert _pow_mod(psi, order, p) == 1
+    assert _pow_mod(psi, order // 2, p) != 1
+    return psi
+
+
+def min_primes_for_bound(bound_bits: float) -> int:
+    """Smallest number of leading PRIMES32 whose product exceeds
+    2^(bound_bits + 1) (factor 2 for the sign of the centered result)."""
+    prod_bits = 0.0
+    for i, p in enumerate(PRIMES32):
+        prod_bits += np.log2(float(p))
+        if prod_bits > bound_bits + 1:
+            return i + 1
+    raise ValueError(f"bound 2^{bound_bits} too large for available primes")
+
+
+def polymul_bound_bits(
+    operand_bits: int, n: int, num_sums: int = 1, torus_bits: int = 64
+) -> float:
+    """log2 bound on |coefficient| of sum of ``num_sums`` negacyclic products
+    of (signed, < 2^operand_bits magnitude) x (unsigned, < 2^torus_bits)."""
+    return operand_bits + torus_bits + np.log2(n) + np.log2(max(num_sums, 1))
+
+
+class NegacyclicNtt:
+    """Per-(N, num_primes) transform plan. Tables are numpy at build time and
+    become jit-time constants when used inside jitted functions."""
+
+    def __init__(self, n: int, num_primes: int):
+        assert n & (n - 1) == 0, "N must be a power of two"
+        assert 2 <= num_primes <= len(PRIMES32)
+        self.n = n
+        self.num_primes = num_primes
+        self.primes = PRIMES32[:num_primes]
+        self.log_n = n.bit_length() - 1
+        P = num_primes
+
+        psi = [_psi_root(p, 2 * n) for p in self.primes]
+        omega = [(ps * ps) % p for ps, p in zip(psi, self.primes)]  # order N
+
+        # twist tables: psi^j and psi^{-j} * N^{-1}
+        js = np.arange(n, dtype=object)
+        self.twist = np.stack(
+            [
+                np.array([_pow_mod(ps, int(j), p) for j in range(n)], dtype=np.uint64)
+                for ps, p in zip(psi, self.primes)
+            ]
+        )  # [P, N]
+        self.untwist = np.stack(
+            [
+                np.array(
+                    [
+                        (_pow_mod(ps, 2 * n - j, p) * _pow_mod(n, p - 2, p)) % p
+                        for j in range(n)
+                    ],
+                    dtype=np.uint64,
+                )
+                for ps, p in zip(psi, self.primes)
+            ]
+        )  # [P, N] — psi^{-j} * N^{-1}
+
+        # Stage twiddles. Forward stage s has blocks of length m = N >> s,
+        # half h = m/2, twiddle w_m^j for j in [0, h) with w_m = omega^(N/m).
+        self.tw_fwd: list[np.ndarray] = []
+        self.tw_inv: list[np.ndarray] = []
+        for s in range(self.log_n):
+            m = n >> s
+            h = m >> 1
+            fwd = np.zeros((P, h), dtype=np.uint64)
+            inv = np.zeros((P, h), dtype=np.uint64)
+            for pi, p in enumerate(self.primes):
+                wm = _pow_mod(omega[pi], n // m, p)
+                wm_inv = _pow_mod(wm, p - 2, p)
+                wj = 1
+                wj_inv = 1
+                for j in range(h):
+                    fwd[pi, j] = wj
+                    inv[pi, j] = wj_inv
+                    wj = (wj * wm) % p
+                    wj_inv = (wj_inv * wm_inv) % p
+            self.tw_fwd.append(fwd)
+            self.tw_inv.append(inv)
+
+        self.p_arr = np.array(self.primes, dtype=np.uint64)  # [P]
+
+        # Garner / CRT reconstruction constants
+        # (semantics of tfhe-ntt native64.rs reconstruct_32bit_01234)
+        ps = [int(p) for p in self.primes]
+        self.garner_inv = []  # inverse of (p0*...*p_{i-1}) mod p_i
+        for i in range(1, P):
+            prod = 1
+            for j in range(i):
+                prod = (prod * ps[j]) % ps[i]
+            self.garner_inv.append(pow(prod, ps[i] - 2, ps[i]))
+        # prefix products mod 2^64 (wrapping)
+        mask64 = (1 << 64) - 1
+        self.prefix_mod64 = []  # [1, p0, p0p1, ...] (length P)
+        acc = 1
+        for i in range(P):
+            self.prefix_mod64.append(acc & mask64)
+            acc = (acc * ps[i]) & mask64
+        self.full_prod_mod64 = acc & mask64
+        # p_j mod p_i for the Garner inner chain
+        self.pmod = [[ps[j] % ps[i] for j in range(i)] for i in range(P)]
+
+    # -- forward ------------------------------------------------------------
+    def fwd(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Forward negacyclic NTT.
+
+        ``x``: int64 (signed digits) or uint64 torus values, shape [..., N].
+        Returns uint64 residues in [0, p), shape [P, ..., N].
+        """
+        n = self.n
+        assert x.shape[-1] == n
+        p = jnp.asarray(self.p_arr).reshape((self.num_primes,) + (1,) * x.ndim)
+        if x.dtype == jnp.int64:
+            r = jnp.remainder(x[None], p.astype(jnp.int64)).astype(jnp.uint64)
+        else:
+            r = jnp.remainder(x[None].astype(jnp.uint64), p)
+        twist = jnp.asarray(self.twist).reshape(
+            (self.num_primes,) + (1,) * (x.ndim - 1) + (n,)
+        )
+        r = (r * twist) % p
+        return self._fwd_stages(r, p)
+
+    def _fwd_stages(self, r: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+        n = self.n
+        lead = r.shape[:-1]
+        for s in range(self.log_n):
+            m = n >> s
+            h = m >> 1
+            rr = r.reshape(lead + (n // m, 2, h))
+            a = rr[..., 0, :]
+            b = rr[..., 1, :]
+            w = jnp.asarray(self.tw_fwd[s]).reshape(
+                (self.num_primes,) + (1,) * (r.ndim - 1) + (h,)
+            )
+            pp = p[..., None]
+            u = a + b
+            u = jnp.where(u >= pp, u - pp, u)
+            v = ((a - b + pp) * w) % pp
+            r = jnp.stack([u, v], axis=-2).reshape(lead + (n,))
+        return r
+
+    # -- inverse ------------------------------------------------------------
+    def inv(self, xhat: jnp.ndarray) -> jnp.ndarray:
+        """Inverse transform, returning residues (mod each prime) of the
+        *integer* result coefficients, shape [P, ..., N] uint64."""
+        n = self.n
+        p = jnp.asarray(self.p_arr).reshape(
+            (self.num_primes,) + (1,) * (xhat.ndim - 1)
+        )
+        r = xhat
+        lead = r.shape[:-1]
+        for s in reversed(range(self.log_n)):
+            m = n >> s
+            h = m >> 1
+            rr = r.reshape(lead + (n // m, 2, h))
+            u = rr[..., 0, :]
+            v = rr[..., 1, :]
+            w = jnp.asarray(self.tw_inv[s]).reshape(
+                (self.num_primes,) + (1,) * (r.ndim - 1) + (h,)
+            )
+            pp = p[..., None]
+            bw = (v * w) % pp
+            a = u + bw
+            a = jnp.where(a >= pp, a - pp, a)
+            b = u - bw + pp
+            b = jnp.where(b >= pp, b - pp, b)
+            r = jnp.stack([a, b], axis=-2).reshape(lead + (n,))
+        untwist = jnp.asarray(self.untwist).reshape(
+            (self.num_primes,) + (1,) * (xhat.ndim - 2) + (n,)
+        )
+        return (r * untwist) % p
+
+    # -- pointwise ----------------------------------------------------------
+    def pointwise_mul(self, ahat: jnp.ndarray, bhat: jnp.ndarray) -> jnp.ndarray:
+        p = jnp.asarray(self.p_arr).reshape(
+            (self.num_primes,) + (1,) * (max(ahat.ndim, bhat.ndim) - 1)
+        )
+        return (ahat * bhat) % p
+
+    # -- CRT reconstruction ---------------------------------------------------
+    def reconstruct_u64(self, residues: jnp.ndarray) -> jnp.ndarray:
+        """Garner mixed-radix CRT with sign correction: maps residues of a
+        centered integer x (|x| < prod(primes)/2) to x mod 2^64.
+
+        Semantics: tfhe-ntt native64.rs ``reconstruct_32bit_01234``.
+        ``residues``: uint64 [P, ...] -> uint64 [...].
+        """
+        P = self.num_primes
+        ps = [jnp.uint64(p) for p in self.primes]
+        m = [residues[i] for i in range(P)]
+        v = [m[0]]
+        for i in range(1, P):
+            pi = ps[i]
+            # inner = v0 + p0*(v1 + p1*(v2 + ...)) with each product reduced
+            # mod p_i (Horner, innermost first). v_j < p_j < p_i so each
+            # partial stays < 2*p_i; 2*p_i + m_i - inner stays non-negative.
+            acc = v[i - 1]
+            for j in range(i - 2, -1, -1):
+                acc = v[j] + (ps[j] * acc) % pi
+            diff = jnp.uint64(2) * pi + m[i] - acc
+            vi = ((diff % pi) * jnp.uint64(self.garner_inv[i - 1])) % pi
+            v.append(vi)
+        # positive candidate mod 2^64 (wrapping)
+        pos = jnp.zeros_like(v[0])
+        for i in range(P):
+            pos = pos + v[i] * jnp.uint64(self.prefix_mod64[i])
+        neg = pos - jnp.uint64(self.full_prod_mod64)
+        sign = v[P - 1] > jnp.uint64(self.primes[P - 1] // 2)
+        return jnp.where(sign, neg, pos)
+
+    # -- convenience ----------------------------------------------------------
+    def polymul_u64(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Exact negacyclic product mod 2^64 of ``a`` (signed int64 small
+        coefficients) and ``b`` (uint64), provided magnitudes fit the prime
+        budget (see :func:`min_primes_for_bound`)."""
+        ahat = self.fwd(a)
+        bhat = self.fwd(b)
+        chat = self.pointwise_mul(ahat, bhat)
+        return self.reconstruct_u64(self.inv(chat))
+
+    # cached jitted entry points (one compile per plan per shape)
+    @functools.cached_property
+    def polymul_u64_jit(self):
+        import jax
+
+        return jax.jit(self.polymul_u64)
+
+    @functools.cached_property
+    def roundtrip_jit(self):
+        import jax
+
+        return jax.jit(lambda v: self.inv(self.fwd(v)))
+
+
+@functools.lru_cache(maxsize=None)
+def get_plan(n: int, num_primes: int) -> NegacyclicNtt:
+    return NegacyclicNtt(n, num_primes)

@@ -1,0 +1,356 @@
+"""Cryptographic parameter sets.
+
+The reference stores a versioned universe of parameter constants
+(``tfhe/src/shortint/parameters/`` — ~57.7k LoC of Rust consts). Here the same
+information is plain frozen dataclasses; named sets below carry the values of
+the reference's v1.5 aliases (resolved to v1_4 constants, e.g.
+``tfhe/src/shortint/parameters/v1_4/classic/gaussian/p_fail_2_minus_128/ks_pbs.rs:258-280``).
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+
+class EncryptionKeyChoice(enum.Enum):
+    """Which key encrypts fresh ciphertexts / the order of the atomic pattern.
+
+    BIG   -> ciphertexts live under the large (GLWE-derived) key; atomic
+             pattern is keyswitch-then-PBS (KS -> PBS).
+    SMALL -> ciphertexts live under the small LWE key; PBS -> KS order.
+
+    Reference: ``tfhe/src/shortint/parameters/mod.rs`` (EncryptionKeyChoice).
+    """
+
+    BIG = "big"
+    SMALL = "small"
+
+
+class ModulusSwitchType(enum.Enum):
+    """Reference: ``ModulusSwitchType`` in shortint parameters."""
+
+    STANDARD = "standard"
+    CENTERED_MEAN_NOISE_REDUCTION = "centered_mean"
+    DRIFT_TECHNIQUE_NOISE_REDUCTION = "drift"
+
+
+@dataclass(frozen=True)
+class DynamicDistribution:
+    """A noise distribution: gaussian (std-dev relative to the torus) or
+    t-uniform with bound 2^bound_log2.
+
+    Reference: ``tfhe/src/core_crypto/commons/math/random/mod.rs``
+    (DynamicDistribution), gaussian & t_uniform samplers.
+    """
+
+    kind: str  # 'gaussian' | 't_uniform'
+    std_dev: float = 0.0  # for gaussian: fraction of the torus (q-relative)
+    bound_log2: int = 0  # for t_uniform
+
+    @staticmethod
+    def gaussian_from_std_dev(std: float) -> "DynamicDistribution":
+        return DynamicDistribution(kind="gaussian", std_dev=std)
+
+    @staticmethod
+    def t_uniform(bound_log2: int) -> "DynamicDistribution":
+        return DynamicDistribution(kind="t_uniform", bound_log2=bound_log2)
+
+    def variance(self, modulus_value: float) -> float:
+        """Variance in absolute (integer) units for a given modulus."""
+        if self.kind == "gaussian":
+            return (self.std_dev * modulus_value) ** 2
+        # t-uniform on [-2^b, 2^b] with half-weight endpoints:
+        # Var = (2^{2b+1} + 1) / 6   (reference t_uniform.rs)
+        b = self.bound_log2
+        return (2.0 ** (2 * b + 1) + 1.0) / 6.0
+
+
+@dataclass(frozen=True)
+class CiphertextModulus:
+    """Ciphertext modulus q. ``value == 0`` denotes the native power-of-two
+    modulus 2^bits (reference ``CiphertextModulus`` semantics where the raw
+    value 0 encodes 2^64 for u64 scalars,
+    ``tfhe/src/core_crypto/commons/ciphertext_modulus.rs``)."""
+
+    value: int = 0  # 0 => native 2^bits
+    bits: int = 64  # scalar width
+
+    @property
+    def is_native(self) -> bool:
+        return self.value == 0 or self.value == (1 << self.bits)
+
+    @property
+    def is_power_of_two(self) -> bool:
+        v = self.modulus_value
+        return (v & (v - 1)) == 0
+
+    @property
+    def modulus_value(self) -> int:
+        return (1 << self.bits) if self.is_native else self.value
+
+    @property
+    def log2(self) -> int:
+        v = self.modulus_value
+        assert (v & (v - 1)) == 0, "log2 only defined for power-of-two moduli"
+        return v.bit_length() - 1
+
+    @staticmethod
+    def new_native(bits: int = 64) -> "CiphertextModulus":
+        return CiphertextModulus(0, bits)
+
+
+NATIVE_U64 = CiphertextModulus.new_native(64)
+
+
+@dataclass(frozen=True)
+class ClassicPBSParameters:
+    """Parameters of the classic (non-multi-bit) shortint atomic pattern.
+
+    Field-for-field equivalent of the reference's ``ClassicPBSParameters``
+    (``tfhe/src/shortint/parameters/mod.rs``).
+    """
+
+    lwe_dimension: int
+    glwe_dimension: int
+    polynomial_size: int
+    lwe_noise_distribution: DynamicDistribution
+    glwe_noise_distribution: DynamicDistribution
+    pbs_base_log: int
+    pbs_level: int
+    ks_base_log: int
+    ks_level: int
+    message_modulus: int
+    carry_modulus: int
+    max_noise_level: int
+    log2_p_fail: float
+    ciphertext_modulus: CiphertextModulus = NATIVE_U64
+    encryption_key_choice: EncryptionKeyChoice = EncryptionKeyChoice.BIG
+    modulus_switch_type: ModulusSwitchType = (
+        ModulusSwitchType.CENTERED_MEAN_NOISE_REDUCTION
+    )
+    name: str = ""
+
+    # ---- derived quantities -------------------------------------------------
+    @property
+    def glwe_size(self) -> int:  # k + 1
+        return self.glwe_dimension + 1
+
+    @property
+    def big_lwe_dimension(self) -> int:
+        return self.glwe_dimension * self.polynomial_size
+
+    @property
+    def cleartext_modulus(self) -> int:
+        return self.message_modulus * self.carry_modulus
+
+    @property
+    def lut_size(self) -> int:
+        return self.polynomial_size
+
+    def with_name(self, name: str) -> "ClassicPBSParameters":
+        return replace(self, name=name)
+
+
+@dataclass(frozen=True)
+class MultiBitPBSParameters:
+    """Multi-bit PBS parameters (reference ``MultiBitPBSParameters``)."""
+
+    lwe_dimension: int
+    glwe_dimension: int
+    polynomial_size: int
+    lwe_noise_distribution: DynamicDistribution
+    glwe_noise_distribution: DynamicDistribution
+    pbs_base_log: int
+    pbs_level: int
+    ks_base_log: int
+    ks_level: int
+    message_modulus: int
+    carry_modulus: int
+    max_noise_level: int
+    log2_p_fail: float
+    grouping_factor: int = 2
+    ciphertext_modulus: CiphertextModulus = NATIVE_U64
+    encryption_key_choice: EncryptionKeyChoice = EncryptionKeyChoice.BIG
+    deterministic_execution: bool = False
+    name: str = ""
+
+    @property
+    def glwe_size(self) -> int:
+        return self.glwe_dimension + 1
+
+    @property
+    def big_lwe_dimension(self) -> int:
+        return self.glwe_dimension * self.polynomial_size
+
+    @property
+    def cleartext_modulus(self) -> int:
+        return self.message_modulus * self.carry_modulus
+
+
+@dataclass(frozen=True)
+class BooleanParameters:
+    """Boolean-layer parameters (reference ``tfhe/src/boolean/parameters/``)."""
+
+    lwe_dimension: int
+    glwe_dimension: int
+    polynomial_size: int
+    lwe_noise_distribution: DynamicDistribution
+    glwe_noise_distribution: DynamicDistribution
+    pbs_base_log: int
+    pbs_level: int
+    ks_base_log: int
+    ks_level: int
+    encryption_key_choice: EncryptionKeyChoice = EncryptionKeyChoice.SMALL
+    ciphertext_modulus: CiphertextModulus = NATIVE_U64
+    name: str = ""
+
+    @property
+    def glwe_size(self) -> int:
+        return self.glwe_dimension + 1
+
+    @property
+    def big_lwe_dimension(self) -> int:
+        return self.glwe_dimension * self.polynomial_size
+
+
+# =============================================================================
+# Named parameter sets (values copied from the reference constants).
+# =============================================================================
+
+_G = DynamicDistribution.gaussian_from_std_dev
+_T = DynamicDistribution.t_uniform
+
+# Reference: v1_4/classic/gaussian/p_fail_2_minus_128/ks_pbs.rs:258-280
+# (V1_4_PARAM_MESSAGE_2_CARRY_2_KS_PBS_GAUSSIAN_2M128)
+PARAM_MESSAGE_2_CARRY_2_KS_PBS = ClassicPBSParameters(
+    lwe_dimension=866,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_noise_distribution=_G(2.046151696979124e-06),
+    glwe_noise_distribution=_G(2.845267479601915e-15),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-128.597,
+    name="PARAM_MESSAGE_2_CARRY_2_KS_PBS",
+)
+
+# Reference: v1_4/classic/gaussian/p_fail_2_minus_128/ks_pbs.rs:~236
+# (V1_4_PARAM_MESSAGE_2_CARRY_1_KS_PBS_GAUSSIAN_2M128 precedes 2_2; the 1_1
+# values below come from the same file's M1C1 entry.)
+PARAM_MESSAGE_1_CARRY_1_KS_PBS = ClassicPBSParameters(
+    lwe_dimension=837,
+    glwe_dimension=4,
+    polynomial_size=512,
+    lwe_noise_distribution=_G(3.3747142481837397e-06),
+    glwe_noise_distribution=_G(2.845267479601915e-15),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=5,
+    ks_level=3,
+    message_modulus=2,
+    carry_modulus=2,
+    max_noise_level=3,
+    log2_p_fail=-128.186,
+    name="PARAM_MESSAGE_1_CARRY_1_KS_PBS",
+)
+
+# TUniform default (reference alias PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
+# v1_4/classic/tuniform/p_fail_2_minus_128/ks_pbs.rs)
+PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM = ClassicPBSParameters(
+    lwe_dimension=918,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_noise_distribution=_T(45),
+    glwe_noise_distribution=_T(17),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=4,
+    ks_level=4,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-129.581,
+    name="PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM",
+)
+
+# Small, *insecure* parameters for fast CI tests (mirrors the reference's
+# toy_params idea in apps/test-vectors: N=256, low noise, tiny n).
+PARAM_TEST_TOY = ClassicPBSParameters(
+    lwe_dimension=16,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_noise_distribution=_G(2.0 ** -40),
+    glwe_noise_distribution=_G(2.0 ** -40),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-64.0,
+    name="PARAM_TEST_TOY",
+)
+
+# Reference: boolean/parameters/params.rs DEFAULT_PARAMETERS
+BOOLEAN_DEFAULT_PARAMETERS = BooleanParameters(
+    lwe_dimension=805,
+    glwe_dimension=3,
+    polynomial_size=512,
+    lwe_noise_distribution=_G(5.8615896642671336e-06),
+    glwe_noise_distribution=_G(9.315272083503367e-10),
+    pbs_base_log=10,
+    pbs_level=2,
+    ks_base_log=3,
+    ks_level=5,
+    encryption_key_choice=EncryptionKeyChoice.SMALL,
+    name="BOOLEAN_DEFAULT_PARAMETERS",
+)
+
+# Reference: boolean/parameters/params.rs DEFAULT_PARAMETERS_KS_PBS
+BOOLEAN_DEFAULT_PARAMETERS_KS_PBS = BooleanParameters(
+    lwe_dimension=739,
+    glwe_dimension=3,
+    polynomial_size=512,
+    lwe_noise_distribution=_G(1.8304520733507305e-05),
+    glwe_noise_distribution=_G(9.315272083503367e-10),
+    pbs_base_log=10,
+    pbs_level=2,
+    ks_base_log=3,
+    ks_level=4,
+    encryption_key_choice=EncryptionKeyChoice.BIG,
+    name="BOOLEAN_DEFAULT_PARAMETERS_KS_PBS",
+)
+
+# Toy boolean parameters for CI.
+BOOLEAN_TEST_TOY = BooleanParameters(
+    lwe_dimension=16,
+    glwe_dimension=2,
+    polynomial_size=256,
+    lwe_noise_distribution=_G(2.0 ** -40),
+    glwe_noise_distribution=_G(2.0 ** -40),
+    pbs_base_log=10,
+    pbs_level=2,
+    ks_base_log=3,
+    ks_level=4,
+    encryption_key_choice=EncryptionKeyChoice.SMALL,
+    name="BOOLEAN_TEST_TOY",
+)
+
+ALL_CLASSIC_PBS_PARAMETERS = {
+    p.name: p
+    for p in (
+        PARAM_MESSAGE_2_CARRY_2_KS_PBS,
+        PARAM_MESSAGE_1_CARRY_1_KS_PBS,
+        PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM,
+        PARAM_TEST_TOY,
+    )
+}
