@@ -30,8 +30,11 @@ def monomial_mul(poly: jnp.ndarray, degree: jnp.ndarray) -> jnp.ndarray:
     src = (t - degree[..., None]) % (2 * n)
     neg = src >= n
     src = jnp.where(neg, src - n, src)
+    bshape = jnp.broadcast_shapes(degree.shape, poly.shape[:-1])
+    src = jnp.broadcast_to(src, bshape + (n,))
+    neg = jnp.broadcast_to(neg, bshape + (n,))
     gathered = jnp.take_along_axis(
-        jnp.broadcast_to(poly, src.shape[:-1] + (n,)), src.astype(jnp.int64), axis=-1
+        jnp.broadcast_to(poly, bshape + (n,)), src.astype(jnp.int64), axis=-1
     )
     return jnp.where(neg, -gathered, gathered)
 

@@ -1,0 +1,280 @@
+"""Server-side device kernels: keyswitch, modulus switch, external product,
+blind rotation, sample extraction, programmable bootstrap.
+
+All functions are pure, jittable, batched over arbitrary leading dims, and
+written in fixed-shape JAX (``lax.fori_loop``/``lax.scan``, no data-dependent
+Python control flow). The mathematical contracts mirror the reference:
+
+- keyswitch: ``core_crypto/algorithms/lwe_keyswitch.rs:137-230``
+  (out = [0|b_in] - sum_{i,l} digit_{i,l} * KSK[i,l])
+- modulus switch: ``core_crypto/fft_impl/common.rs:10-23`` (round to 2N)
+- centered-binary MS noise reduction: ``algorithms/modulus_switch.rs:35-104``
+- external product: ``fft_impl/fft64/crypto/ggsw.rs:483-640`` (decompose,
+  forward-transform, MAC against GGSW rows in transform domain, one inverse
+  transform per output poly)
+- blind rotation: ``fft_impl/fft64/crypto/bootstrap.rs:294-381``
+  (lut *= X^-b, then n cmux steps). The reference skips a_i == 0 with a
+  branch; here every step always executes — external product is linear and
+  decompose(0) = 0, so the zero case contributes exactly nothing and the loop
+  is data-independent (TPU-friendly, and bit-identical).
+- sample extract: ``algorithms/glwe_sample_extraction.rs:89-160``
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import ntt as ntt_mod
+from .decomp import decompose
+from .polynomial import monomial_div, monomial_mul
+
+_U64 = jnp.uint64
+
+
+# ---------------------------------------------------------------------------
+# keyswitch
+# ---------------------------------------------------------------------------
+
+def keyswitch(
+    ct: jnp.ndarray,
+    ksk: jnp.ndarray,
+    base_log: int,
+    levels: int,
+    chunk: int = 64,
+) -> jnp.ndarray:
+    """LWE keyswitch. ``ct``: u64[..., n_in+1], ``ksk``: u64[n_in, l, n_out+1].
+
+    Returns u64[..., n_out+1]. Decompose-then-MAC as a scan over input-mask
+    chunks (the optimized path replaces this with an int8-limb MXU matmul).
+    """
+    n_in = ksk.shape[0]
+    n_out = ksk.shape[2] - 1
+    a = ct[..., :n_in]
+    b = ct[..., n_in]
+
+    digits = decompose(a, base_log, levels)  # [..., n_in, l] int64
+    # pad n_in to a multiple of chunk
+    pad = (-n_in) % chunk
+    if pad:
+        digits = jnp.pad(digits, [(0, 0)] * (digits.ndim - 2) + [(0, pad), (0, 0)])
+        ksk = jnp.pad(ksk, [(0, pad), (0, 0), (0, 0)])
+    n_steps = (n_in + pad) // chunk
+
+    batch_shape = ct.shape[:-1]
+    digits = digits.reshape(batch_shape + (n_steps, chunk, levels))
+    ksk_steps = ksk.reshape(n_steps, chunk, levels, n_out + 1)
+
+    def step(acc, inp):
+        dig, kk = inp  # dig: [..., chunk, l] (moved axis), kk: [chunk, l, n_out+1]
+        prod = dig.astype(_U64)[..., None] * kk  # [..., chunk, l, n_out+1]
+        return acc - jnp.sum(prod, axis=(-3, -2)), None
+
+    # move the step axis first for scan
+    dig_scan = jnp.moveaxis(digits, -3, 0)  # [n_steps, ..., chunk, l]
+    acc0 = jnp.zeros(batch_shape + (n_out + 1,), dtype=_U64)
+    acc0 = acc0.at[..., n_out].set(b)
+    acc, _ = lax.scan(step, acc0, (dig_scan, ksk_steps))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# modulus switch
+# ---------------------------------------------------------------------------
+
+def modulus_switch(x: jnp.ndarray, log_modulus: int) -> jnp.ndarray:
+    """Round to the nearest multiple of 2^64 / 2^log_modulus; returns the
+    switched value in [0, 2^log_modulus) as uint64 (fft_impl/common.rs:10)."""
+    x = x.astype(_U64)
+    half = jnp.uint64(1) << jnp.uint64(64 - log_modulus - 1)
+    return (x + half) >> jnp.uint64(64 - log_modulus)
+
+
+def _trunc_div2_i64(x: jnp.ndarray) -> jnp.ndarray:
+    """Rust-style truncated (toward zero) division by two on int64."""
+    return jnp.where(x < 0, -((-x) >> 1), x >> 1)
+
+
+def centered_binary_ms_body_correction(mask: jnp.ndarray, log_modulus: int) -> jnp.ndarray:
+    """Correction to add to the body before a centered-binary modulus switch
+    (the CenteredMeanNoiseReduction default, algorithms/modulus_switch.rs:57).
+
+    ``mask``: u64[..., n] -> u64[...] correction.
+    """
+    shift = jnp.uint64(64 - log_modulus)
+    rounded = modulus_switch(mask, log_modulus) << shift
+    err = (rounded - mask).astype(jnp.int64)  # signed rounding error
+    half_err = _trunc_div2_i64(err)
+    halving_err_doubled = 2 * half_err - err  # in {-1, 0, 1}
+    sum_half = jnp.sum(half_err.astype(_U64), axis=-1)
+    sum_halving = jnp.sum(halving_err_doubled, axis=-1)
+    sum_halving_half = _trunc_div2_i64(sum_halving).astype(_U64)
+    sum_half = sum_half - sum_halving_half
+    half_case = jnp.uint64(1) << jnp.uint64(64 - log_modulus - 1)
+    return sum_half - half_case
+
+
+def lwe_centered_binary_modulus_switch(ct: jnp.ndarray, log_modulus: int):
+    """Returns (switched_mask, switched_body) as uint64 in [0, 2^log_modulus),
+    with the centered-binary body correction applied pre-switch."""
+    n = ct.shape[-1] - 1
+    mask = ct[..., :n]
+    body = ct[..., n]
+    corr = centered_binary_ms_body_correction(mask, log_modulus)
+    return modulus_switch(mask, log_modulus), modulus_switch(body + corr, log_modulus)
+
+
+def lwe_standard_modulus_switch(ct: jnp.ndarray, log_modulus: int):
+    n = ct.shape[-1] - 1
+    return (
+        modulus_switch(ct[..., :n], log_modulus),
+        modulus_switch(ct[..., n], log_modulus),
+    )
+
+
+# ---------------------------------------------------------------------------
+# external product / cmux
+# ---------------------------------------------------------------------------
+
+def external_product_ntt(
+    ggsw_hat: jnp.ndarray,
+    glwe: jnp.ndarray,
+    base_log: int,
+    levels: int,
+    plan: ntt_mod.NegacyclicNtt,
+) -> jnp.ndarray:
+    """GGSW (transform domain) x GLWE -> GLWE, exact mod 2^64.
+
+    ``ggsw_hat``: u32/u64[P, l, R, R, N] NTT residues (R = k+1)
+    ``glwe``:     u64[..., R, N]
+    Returns u64[..., R, N] (the external product; caller adds to the acc).
+    """
+    P = plan.num_primes
+    R = glwe.shape[-2]
+    N = glwe.shape[-1]
+    batch = glwe.shape[:-2]
+
+    digits = decompose(glwe, base_log, levels)  # [..., R, N, l]
+    digits = jnp.moveaxis(digits, -1, -3)  # [..., l, R, N]
+    dhat = plan.fwd(digits)  # [P, ..., l, R, N]
+
+    g = ggsw_hat.astype(_U64)
+    g = g.reshape((P,) + (1,) * len(batch) + g.shape[1:])  # [P, 1.., l, R, C, N]
+    p = jnp.asarray(plan.p_arr).reshape((P,) + (1,) * (dhat.ndim))
+
+    prod = (dhat[..., None, :] * g) % p  # [P, ..., l, R, C, N]
+    acc_hat = jnp.sum(prod, axis=(-4, -3)) % p[..., 0, 0]  # [P, ..., C, N]
+    residues = plan.inv(acc_hat)
+    return plan.reconstruct_u64(residues)
+
+
+def cmux_ntt(
+    ggsw_hat: jnp.ndarray,
+    ct0: jnp.ndarray,
+    ct1: jnp.ndarray,
+    base_log: int,
+    levels: int,
+    plan: ntt_mod.NegacyclicNtt,
+) -> jnp.ndarray:
+    """ct0 + GGSW x (ct1 - ct0): selects ct1 when the GGSW encrypts 1
+    (fft_impl/fft64/crypto/ggsw.rs:510 cmux)."""
+    return ct0 + external_product_ntt(ggsw_hat, ct1 - ct0, base_log, levels, plan)
+
+
+# ---------------------------------------------------------------------------
+# blind rotation
+# ---------------------------------------------------------------------------
+
+def blind_rotate(
+    lut: jnp.ndarray,
+    msed_mask: jnp.ndarray,
+    msed_body: jnp.ndarray,
+    bsk_hat: jnp.ndarray,
+    base_log: int,
+    levels: int,
+    plan: ntt_mod.NegacyclicNtt,
+) -> jnp.ndarray:
+    """Blind rotation of ``lut`` by the mod-switched LWE.
+
+    ``lut``:      u64[..., R, N] (trivial GLWE of the accumulator)
+    ``msed_mask``: u64[..., n] values in [0, 2N)
+    ``msed_body``: u64[...]     value  in [0, 2N)
+    ``bsk_hat``:  u32[P, n, l, R, R, N]
+    """
+    n = bsk_hat.shape[1]
+    # lut <- lut * X^{-b}
+    acc = monomial_div(lut, msed_body[..., None])
+
+    def body_fn(i, acc):
+        a_i = lax.dynamic_index_in_dim(msed_mask, i, axis=-1, keepdims=False)
+        # ct1 = acc * X^{a_i} - acc  (fused monomial-mul-subtract)
+        ct1 = monomial_mul(acc, a_i[..., None]) - acc
+        ggsw = lax.dynamic_index_in_dim(bsk_hat, i, axis=1, keepdims=False)
+        return acc + external_product_ntt(ggsw, ct1, base_log, levels, plan)
+
+    return lax.fori_loop(0, n, body_fn, acc)
+
+
+# ---------------------------------------------------------------------------
+# sample extraction
+# ---------------------------------------------------------------------------
+
+def sample_extract(glwe: jnp.ndarray, nth: int = 0) -> jnp.ndarray:
+    """GLWE -> LWE of the nth coefficient (glwe_sample_extraction.rs:89).
+
+    ``glwe``: u64[..., k+1, N] -> u64[..., k*N + 1]
+    """
+    k_plus_1 = glwe.shape[-2]
+    N = glwe.shape[-1]
+    k = k_plus_1 - 1
+    body = glwe[..., k, nth]
+    mask = glwe[..., :k, :]
+    # reverse each polynomial
+    rev = mask[..., ::-1]
+    # negate the first (N - nth - 1) coefficients
+    opp = N - nth - 1
+    idx = jnp.arange(N)
+    neg = jnp.where(idx < opp, jnp.uint64(0) - rev, rev)
+    # rotate left by opp
+    rotated = jnp.roll(neg, -opp, axis=-1)
+    out_mask = rotated.reshape(glwe.shape[:-2] + (k * N,))
+    return jnp.concatenate([out_mask, body[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# programmable bootstrap (classic)
+# ---------------------------------------------------------------------------
+
+def programmable_bootstrap(
+    ct_in: jnp.ndarray,
+    lut: jnp.ndarray,
+    bsk_hat: jnp.ndarray,
+    base_log: int,
+    levels: int,
+    plan: ntt_mod.NegacyclicNtt,
+    centered_ms: bool = True,
+    extract_nth: int = 0,
+) -> jnp.ndarray:
+    """Classic PBS: modulus switch -> blind rotate -> sample extract.
+
+    ``ct_in``: u64[..., n+1] under the small key; ``lut``: u64[..., R, N] or
+    [R, N] (broadcast over batch). Returns u64[..., k*N+1] under the big key.
+    Mirrors shortint's apply_programmable_bootstrap
+    (shortint/server_key/mod.rs:1440-1560) with the centered-mean modulus
+    switch enabled by default (the 2_2 parameter default).
+    """
+    N = plan.n
+    log_modulus = N.bit_length()  # log2(2N)
+    if centered_ms:
+        ms_mask, ms_body = lwe_centered_binary_modulus_switch(ct_in, log_modulus)
+    else:
+        ms_mask, ms_body = lwe_standard_modulus_switch(ct_in, log_modulus)
+    batch = ct_in.shape[:-1]
+    if lut.ndim == 2:
+        lut = jnp.broadcast_to(lut, batch + lut.shape)
+    rotated = blind_rotate(lut, ms_mask, ms_body, bsk_hat, base_log, levels, plan)
+    return sample_extract(rotated, extract_nth)

@@ -1,0 +1,285 @@
+"""Shortint server key: LUT machinery + the KS->PBS atomic pattern + leveled ops.
+
+Reference: ``tfhe/src/shortint/server_key/mod.rs`` (generate_lookup_table:805,
+apply_lookup_table:935, fill_accumulator_with_encoding in engine/mod.rs:80),
+``shortint/atomic_pattern/standard.rs:155`` (KS->PBS order),
+``server_key/{add,sub,neg,scalar_add,scalar_mul,bivariate_pbs}.rs``.
+
+The server key holds device arrays (KSK + NTT-domain BSK); every op is a
+batched jitted JAX function taking the key arrays as arguments (so the 100s
+of MB of key material is NOT burned into executables).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from ..core import algorithms as algo
+from ..ops import ntt as ntt_mod
+from ..ops import server as server_ops
+from ..utils.encoding import ShortintEncoding
+from ..utils.params import ClassicPBSParameters, EncryptionKeyChoice, ModulusSwitchType
+from .ciphertext import NOMINAL_NOISE, LookupTable, ShortintCiphertext
+from .client_key import ClientKey
+
+_jitted_ks_pbs_cache: dict = {}
+
+
+def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
+                   poly_size, num_primes, centered_ms):
+    """One compiled KS->PBS pipeline per parameter signature."""
+    import jax
+
+    sig = (key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
+           poly_size, num_primes, centered_ms)
+    if sig in _jitted_ks_pbs_cache:
+        return _jitted_ks_pbs_cache[sig]
+    plan = ntt_mod.get_plan(poly_size, num_primes)
+
+    @jax.jit
+    def ks_pbs(ct, lut_acc, ksk, bsk_hat):
+        small = server_ops.keyswitch(ct, ksk, ks_base_log, ks_levels)
+        return server_ops.programmable_bootstrap(
+            small, lut_acc, bsk_hat, pbs_base_log, pbs_levels, plan,
+            centered_ms=centered_ms,
+        )
+
+    @jax.jit
+    def pbs_only(ct_small, lut_acc, bsk_hat):
+        return server_ops.programmable_bootstrap(
+            ct_small, lut_acc, bsk_hat, pbs_base_log, pbs_levels, plan,
+            centered_ms=centered_ms,
+        )
+
+    @jax.jit
+    def ks_only(ct, ksk):
+        return server_ops.keyswitch(ct, ksk, ks_base_log, ks_levels)
+
+    fns = (ks_pbs, pbs_only, ks_only)
+    _jitted_ks_pbs_cache[sig] = fns
+    return fns
+
+
+@dataclass
+class ServerKey:
+    params: ClassicPBSParameters
+    ksk: Any  # jnp u64[n_big, l_ks, n_small+1]
+    bsk_hat: Any  # jnp u32[P, n_small, l_pbs, k+1, k+1, N]
+    num_primes: int
+    max_degree: int = 0
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def generate(cls, client_key: ClientKey) -> "ServerKey":
+        """BSK (GGSW of each small-key bit under the GLWE key, glwe noise)
+        then KSK (big -> small, lwe noise) — engine/server_side.rs order."""
+        import jax.numpy as jnp
+
+        p = client_key.params
+        gen = client_key._enc_gen
+        bsk = algo.gen_bootstrap_key(
+            client_key.lwe_sk,
+            client_key.glwe_sk,
+            p.pbs_base_log,
+            p.pbs_level,
+            p.glwe_noise_distribution,
+            gen,
+        )
+        ksk = algo.gen_keyswitch_key(
+            client_key.big_lwe_sk,
+            client_key.lwe_sk,
+            p.ks_base_log,
+            p.ks_level,
+            p.lwe_noise_distribution,
+            gen,
+        )
+        num_primes = cls._num_primes_for(p)
+        bsk_hat = algo.bootstrap_key_to_ntt(bsk, num_primes)
+        max_degree = p.message_modulus * p.carry_modulus - 1
+        return cls(
+            params=p,
+            ksk=jnp.asarray(ksk.data),
+            bsk_hat=bsk_hat.residues,
+            num_primes=num_primes,
+            max_degree=max_degree,
+        )
+
+    @staticmethod
+    def _num_primes_for(p: ClassicPBSParameters) -> int:
+        bound = ntt_mod.polymul_bound_bits(
+            p.pbs_base_log,
+            p.polynomial_size,
+            num_sums=p.pbs_level * p.glwe_size,
+        )
+        return ntt_mod.min_primes_for_bound(bound)
+
+    # ------------------------------------------------------------------
+    @property
+    def _plan(self) -> ntt_mod.NegacyclicNtt:
+        return ntt_mod.get_plan(self.params.polynomial_size, self.num_primes)
+
+    @property
+    def _fns(self):
+        p = self.params
+        return _get_ks_pbs_fn(
+            (self.ksk.shape, self.bsk_hat.shape),
+            p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level,
+            p.polynomial_size, self.num_primes,
+            p.modulus_switch_type == ModulusSwitchType.CENTERED_MEAN_NOISE_REDUCTION,
+        )
+
+    @property
+    def encoding(self) -> ShortintEncoding:
+        p = self.params
+        return ShortintEncoding(
+            ciphertext_modulus=p.ciphertext_modulus,
+            message_modulus=p.message_modulus,
+            carry_modulus=p.carry_modulus,
+            padding_bit=True,
+        )
+
+    # ------------------------------------------------------------------
+    # lookup tables
+    # ------------------------------------------------------------------
+    def generate_lookup_table(self, f: Callable[[int], int]) -> LookupTable:
+        """Accumulator layout per engine/mod.rs:80-141: one box of
+        N/(mm*cm) repeated slots per input value, first half-box negated and
+        rotated out to center the boxes on the mod-switch grid."""
+        import jax.numpy as jnp
+
+        p = self.params
+        N = p.polynomial_size
+        mod_sup = p.message_modulus * p.carry_modulus
+        box = N // mod_sup
+        enc = self.encoding
+        fe = np.array([int(f(int(x))) for x in range(mod_sup)], dtype=np.uint64)
+        max_value = int(fe.max())
+        encoded = np.array([enc.encode(int(v)) for v in fe], dtype=np.uint64)
+        body = np.repeat(encoded, box)
+        half = box // 2
+        with np.errstate(over="ignore"):
+            body[:half] = np.uint64(0) - body[:half]
+        body = np.roll(body, -half)
+        acc = np.zeros((p.glwe_size, N), dtype=np.uint64)
+        acc[-1] = body
+        return LookupTable(acc=jnp.asarray(acc), degree=max_value)
+
+    def generate_msg_lookup_table(self, f, modulus: Optional[int] = None) -> LookupTable:
+        m = modulus or self.params.message_modulus
+        return self.generate_lookup_table(lambda x: f(x % m) % m)
+
+    # ------------------------------------------------------------------
+    # the atomic pattern
+    # ------------------------------------------------------------------
+    def apply_lookup_table(self, ct: ShortintCiphertext, lut: LookupTable) -> ShortintCiphertext:
+        assert ct.under_key == "big", "KS->PBS pattern expects big-key input"
+        ks_pbs, _, _ = self._fns
+        out = ks_pbs(ct.ct, lut.acc, self.ksk, self.bsk_hat)
+        return ShortintCiphertext(
+            ct=out,
+            degree=lut.degree,
+            noise_level=NOMINAL_NOISE,
+            message_modulus=ct.message_modulus,
+            carry_modulus=ct.carry_modulus,
+            under_key="big",
+        )
+
+    def keyswitch(self, ct: ShortintCiphertext) -> ShortintCiphertext:
+        _, _, ks = self._fns
+        out = ks(ct.ct, self.ksk)
+        return ct.with_ct(out)
+
+    def message_extract(self, ct: ShortintCiphertext) -> ShortintCiphertext:
+        """PBS with x -> x % message_modulus (clears carries)."""
+        lut = self.generate_lookup_table(lambda x: x % self.params.message_modulus)
+        return self.apply_lookup_table(ct, lut)
+
+    def carry_extract(self, ct: ShortintCiphertext) -> ShortintCiphertext:
+        lut = self.generate_lookup_table(lambda x: x // self.params.message_modulus)
+        return self.apply_lookup_table(ct, lut)
+
+    # ------------------------------------------------------------------
+    # leveled (linear) operations — degree/noise bookkeeping per
+    # shortint/ciphertext/common.rs
+    # ------------------------------------------------------------------
+    def _check_noise(self, level: int):
+        assert level <= self.params.max_noise_level, (
+            f"noise level {level} exceeds max {self.params.max_noise_level}"
+        )
+
+    def unchecked_add(self, a: ShortintCiphertext, b: ShortintCiphertext) -> ShortintCiphertext:
+        return ShortintCiphertext(
+            ct=a.ct + b.ct,
+            degree=a.degree + b.degree,
+            noise_level=a.noise_level + b.noise_level,
+            message_modulus=a.message_modulus,
+            carry_modulus=a.carry_modulus,
+            under_key=a.under_key,
+        )
+
+    def unchecked_scalar_add(self, a: ShortintCiphertext, scalar: int) -> ShortintCiphertext:
+        import jax.numpy as jnp
+
+        delta = self.encoding.delta()
+        shift = jnp.uint64((scalar * delta) % (1 << 64))
+        ct = a.ct.at[..., -1].add(shift)
+        return a.with_ct(ct, degree=a.degree + scalar)
+
+    def unchecked_scalar_mul(self, a: ShortintCiphertext, scalar: int) -> ShortintCiphertext:
+        import jax.numpy as jnp
+
+        return a.with_ct(
+            a.ct * jnp.uint64(scalar),
+            degree=a.degree * scalar,
+            noise_level=a.noise_level * scalar,
+        )
+
+    def unchecked_neg(self, a: ShortintCiphertext) -> ShortintCiphertext:
+        """-ct plus the degree-correction z*Delta with z the smallest multiple
+        of message_modulus > degree (server_key/neg.rs semantics)."""
+        import jax.numpy as jnp
+
+        mm = a.message_modulus
+        z = math.ceil((a.degree + 1) / mm) * mm
+        delta = self.encoding.delta()
+        ct = jnp.uint64(0) - a.ct
+        ct = ct.at[..., -1].add(jnp.uint64((z * delta) % (1 << 64)))
+        return a.with_ct(ct, degree=z - 1)
+
+    def unchecked_sub(self, a: ShortintCiphertext, b: ShortintCiphertext) -> ShortintCiphertext:
+        return self.unchecked_add(a, self.unchecked_neg(b))
+
+    # ------------------------------------------------------------------
+    # PBS-based binary ops (the naive building blocks; integer layer uses
+    # batched variants)
+    # ------------------------------------------------------------------
+    def unchecked_apply_lookup_table_bivariate(
+        self, a: ShortintCiphertext, b: ShortintCiphertext, f: Callable[[int, int], int]
+    ) -> ShortintCiphertext:
+        """Pack lhs*factor + rhs then one univariate PBS
+        (shortint/server_key/bivariate_pbs.rs:26-45,141)."""
+        factor = b.degree + 1
+        packed = self.unchecked_add(self.unchecked_scalar_mul(a, factor), b)
+        self._check_noise(packed.noise_level)
+        mm = self.params.message_modulus
+        lut = self.generate_lookup_table(lambda x: f((x // factor) % mm, x % factor))
+        return self.apply_lookup_table(packed, lut)
+
+    def add(self, a: ShortintCiphertext, b: ShortintCiphertext) -> ShortintCiphertext:
+        """Checked add + carry-aware message extraction when overflow risks."""
+        out = self.unchecked_add(a, b)
+        self._check_noise(out.noise_level)
+        if out.degree >= self.params.message_modulus * self.params.carry_modulus:
+            out = self.message_extract(out)
+        return out
+
+    def mul(self, a: ShortintCiphertext, b: ShortintCiphertext) -> ShortintCiphertext:
+        mm = self.params.message_modulus
+        return self.unchecked_apply_lookup_table_bivariate(
+            a, b, lambda x, y: (x * y) % mm
+        )

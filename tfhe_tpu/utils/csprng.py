@@ -138,12 +138,20 @@ class AesCtrGenerator:
         first_block = self.table_index // BYTES_PER_AES_CALL
         offset = self.table_index % BYTES_PER_AES_CALL
         n_blocks = (offset + n + BYTES_PER_AES_CALL - 1) // BYTES_PER_AES_CALL
-        counters = np.arange(first_block, first_block + n_blocks, dtype=object)
-        blocks = np.zeros((n_blocks, 16), dtype=np.uint8)
-        # counter -> little-endian 16-byte block
-        ctr = np.array(
-            [list(int(c).to_bytes(16, "little")) for c in counters], dtype=np.uint8
-        )
+        # counter -> little-endian 16-byte block (fast path: counters < 2^64,
+        # which holds for any realistic stream position)
+        if first_block + n_blocks < (1 << 64):
+            ctr = np.zeros((n_blocks, 16), dtype=np.uint8)
+            lo = np.arange(first_block, first_block + n_blocks, dtype=np.uint64)
+            ctr[:, :8] = lo.view(np.uint8).reshape(n_blocks, 8)
+        else:
+            ctr = np.array(
+                [
+                    list(int(c).to_bytes(16, "little"))
+                    for c in range(first_block, first_block + n_blocks)
+                ],
+                dtype=np.uint8,
+            )
         out = aes128_encrypt_blocks(self.round_keys, ctr)
         stream = out.reshape(-1)[offset : offset + n]
         self.table_index += n
@@ -185,20 +193,30 @@ class AesCtrGenerator:
     def gaussian_pairs_f64(self, n_pairs: int, std: float, mean: float = 0.0) -> np.ndarray:
         """``n_pairs`` Marsaglia-polar gaussian pairs — returns [2*n_pairs] f64.
 
-        Sequential per pair (the rejection loop consumes a variable number of
-        bytes, like the reference's generate_one loop).
+        Vectorized rejection: draw (u, v) for all pending pairs at once;
+        failed pairs redraw in order from the subsequent stream bytes. This is
+        deterministic for a given stream (NOTE: the redraw *interleaving*
+        differs from the reference's strictly per-pair sequential loop; a
+        strict mode can be added for bit-exact cross-validation).
         """
+        out_u = np.empty(n_pairs, dtype=np.float64)
+        out_v = np.empty(n_pairs, dtype=np.float64)
+        pending = np.arange(n_pairs)
+        while pending.size:
+            raw = self.next_bytes(16 * pending.size).view("<i8")
+            u = raw[0::2].astype(np.float64) * 2.0 ** -63
+            v = raw[1::2].astype(np.float64) * 2.0 ** -63
+            s = u * u + v * v
+            ok = (s > 0.0) & (s < 1.0)
+            good = pending[ok]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cst = std * np.sqrt(-2.0 * np.log(s[ok]) / s[ok])
+            out_u[good] = u[ok] * cst + mean
+            out_v[good] = v[ok] * cst + mean
+            pending = pending[~ok]
         out = np.empty(2 * n_pairs, dtype=np.float64)
-        for i in range(n_pairs):
-            while True:
-                u = float(self.next_bytes(8).view("<i8")[0]) * 2.0 ** -63
-                v = float(self.next_bytes(8).view("<i8")[0]) * 2.0 ** -63
-                s = u * u + v * v
-                if 0.0 < s < 1.0:
-                    cst = std * np.sqrt(-2.0 * np.log(s) / s)
-                    out[2 * i] = u * cst + mean
-                    out[2 * i + 1] = v * cst + mean
-                    break
+        out[0::2] = out_u
+        out[1::2] = out_v
         return out
 
     def gaussian_torus_u64(self, n: int, std: float, mean: float = 0.0) -> np.ndarray:
@@ -217,13 +235,16 @@ class AesCtrGenerator:
         extra bottom bit implements the half-weight endpoints).
         """
         needed_bytes = (bound_log2 + 2 + 7) // 8
-        vals = np.zeros(n, dtype=np.uint64)
-        for i in range(n):
-            raw = self.next_bytes(needed_bytes)
-            x = int.from_bytes(raw.tobytes(), "little") & ((1 << (bound_log2 + 2)) - 1)
-            v = (x >> 1) + (x & 1) - (1 << bound_log2)
-            vals[i] = np.uint64(np.int64(v))
-        return vals
+        raw = self.next_bytes(needed_bytes * n).reshape(n, needed_bytes)
+        # little-endian accumulate (bound_log2 + 2 <= 62 so u64 suffices)
+        x = np.zeros(n, dtype=np.uint64)
+        for b in range(needed_bytes):
+            x |= raw[:, b].astype(np.uint64) << np.uint64(8 * b)
+        x &= np.uint64((1 << (bound_log2 + 2)) - 1)
+        v = (x >> np.uint64(1)).astype(np.int64) + (x & np.uint64(1)).astype(np.int64) - (
+            1 << bound_log2
+        )
+        return v.astype(np.uint64)
 
 
 class SecretRandomGenerator(AesCtrGenerator):
