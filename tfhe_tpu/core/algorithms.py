@@ -283,8 +283,15 @@ def bootstrap_key_to_ntt(bsk: LweBootstrapKey, num_primes: int) -> NttLweBootstr
 
     N = bsk.poly_size
     plan = ntt_mod.get_plan(N, num_primes)
-    fwd = jax.jit(lambda x: plan.fwd(x).astype(jnp.uint32))
-    res = fwd(jnp.asarray(bsk.data))  # [P, n, l, k+1, k+1, N] residues < 2^30
+
+    @jax.jit
+    def fwd(x):
+        res = plan.fwd(x)  # [P, n, l, k+1, k+1, N] residues < 2^30
+        p = plan.p_like(res.ndim - 1)
+        shoup = (res << jnp.uint64(32)) // p  # cold path: one division at keygen
+        return jnp.stack([res, shoup]).astype(jnp.uint32)
+
+    res = fwd(jnp.asarray(bsk.data))  # [2, P, n, l, k+1, k+1, N]
     return NttLweBootstrapKey(
         residues=res,
         base_log=bsk.base_log,

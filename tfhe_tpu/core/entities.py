@@ -91,26 +91,28 @@ class LweBootstrapKey:
 
 @dataclass
 class NttLweBootstrapKey:
-    """Transform-domain BSK: per-prime residues, stored u32 (residues < 2^30).
+    """Transform-domain BSK: per-prime residues + their Shoup duals, u32.
 
     Equivalent of the reference's Fourier-domain key
     (``fft_impl/fft64/crypto/bootstrap.rs:33`` FourierLweBootstrapKey), with
-    NTT residues instead of c64 — exact arithmetic, half the HBM bytes.
+    NTT residues instead of c64 — exact arithmetic. The second leading slot
+    stores floor(res * 2^32 / p) so every MAC in the external product is a
+    division-free Shoup multiply (tfhe-ntt prime64/shoup.rs scheme).
     """
 
-    residues: Any  # jnp u32[P, n, l, k+1, k+1, N]
+    residues: Any  # jnp u32[2, P, n, l, k+1, k+1, N]
     base_log: int
     levels: int
     num_primes: int
 
     @property
     def input_dim(self) -> int:
-        return self.residues.shape[1]
+        return self.residues.shape[2]
 
     @property
     def glwe_size(self) -> int:
-        return self.residues.shape[3]
+        return self.residues.shape[4]
 
     @property
     def poly_size(self) -> int:
-        return self.residues.shape[5]
+        return self.residues.shape[6]

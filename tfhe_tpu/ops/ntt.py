@@ -9,6 +9,18 @@ prime constants ``tfhe-ntt/src/lib.rs:457-461``), chosen here because all
 butterfly arithmetic fits 64-bit intermediates (and, in the optimized Pallas
 path, u32 lanes with 16-bit limb products).
 
+Modular arithmetic is division-free: every multiply against a known value
+(twiddles, twist factors, Garner constants, NTT-domain key material) uses
+Shoup's precomputed-quotient trick (reference ``tfhe-ntt/src/prime64/
+shoup.rs`` and ``native64.rs:35-40`` mul_mod64):
+
+    q = (a * w_shoup) >> 32        # w_shoup = floor(w * 2^32 / p)
+    r = a*w - q*p;  r -= p if r >= p
+
+valid for any a < 2^32 (result < p). Integer division/remainder never
+appears in the hot path — on TPU, 64-bit integer division is catastrophically
+slow while 64-bit multiplies lower to a few 32-bit MACs.
+
 Transform structure: forward = Gentleman–Sande (DIF) stages, inverse = the
 exact stage-by-stage unwind (CT butterflies with inverse twiddles, applied in
 reverse stage order), so no bit-reversal permutation is ever materialized;
@@ -91,6 +103,29 @@ def polymul_bound_bits(
     return operand_bits + torus_bits + np.log2(n) + np.log2(max(num_sums, 1))
 
 
+def _shoup_np(w: np.ndarray, p: int) -> np.ndarray:
+    """floor(w * 2^32 / p) for a table of constants (exact, python ints)."""
+    flat = [int(x) for x in np.asarray(w, dtype=np.uint64).reshape(-1)]
+    out = np.array([(x << 32) // p for x in flat], dtype=np.uint64)
+    return out.reshape(np.asarray(w).shape)
+
+
+def shoup_mul(a: jnp.ndarray, w, w_shoup, p) -> jnp.ndarray:
+    """(a * w) mod p with Shoup's trick. Valid for any ``a`` < 2^32 and
+    w < p; result in [0, p). All operands uint64."""
+    q = (a * w_shoup) >> jnp.uint64(32)
+    r = a * w - q * p
+    return jnp.where(r >= p, r - p, r)
+
+
+def cond_sub_ladder(x: jnp.ndarray, p, log_max: int) -> jnp.ndarray:
+    """Reduce ``x`` < 2^log_max * p to [0, p) by conditional subtractions."""
+    for k in reversed(range(log_max)):
+        step = p << jnp.uint64(k)
+        x = jnp.where(x >= step, x - step, x)
+    return x
+
+
 class NegacyclicNtt:
     """Per-(N, num_primes) transform plan. Tables are numpy at build time and
     become jit-time constants when used inside jitted functions."""
@@ -108,10 +143,9 @@ class NegacyclicNtt:
         omega = [(ps * ps) % p for ps, p in zip(psi, self.primes)]  # order N
 
         # twist tables: psi^j and psi^{-j} * N^{-1}
-        js = np.arange(n, dtype=object)
         self.twist = np.stack(
             [
-                np.array([_pow_mod(ps, int(j), p) for j in range(n)], dtype=np.uint64)
+                np.array([_pow_mod(ps, j, p) for j in range(n)], dtype=np.uint64)
                 for ps, p in zip(psi, self.primes)
             ]
         )  # [P, N]
@@ -150,6 +184,17 @@ class NegacyclicNtt:
             self.tw_fwd.append(fwd)
             self.tw_inv.append(inv)
 
+        # Shoup duals of every constant table (per prime)
+        def shoup_table(tbl: np.ndarray) -> np.ndarray:
+            return np.stack(
+                [_shoup_np(tbl[pi], p) for pi, p in enumerate(self.primes)]
+            )
+
+        self.twist_shoup = shoup_table(self.twist)
+        self.untwist_shoup = shoup_table(self.untwist)
+        self.tw_fwd_shoup = [shoup_table(t) for t in self.tw_fwd]
+        self.tw_inv_shoup = [shoup_table(t) for t in self.tw_inv]
+
         self.p_arr = np.array(self.primes, dtype=np.uint64)  # [P]
 
         # Garner / CRT reconstruction constants
@@ -161,6 +206,13 @@ class NegacyclicNtt:
             for j in range(i):
                 prod = (prod * ps[j]) % ps[i]
             self.garner_inv.append(pow(prod, ps[i] - 2, ps[i]))
+        self.garner_inv_shoup = [
+            (inv << 32) // ps[i + 1] for i, inv in enumerate(self.garner_inv)
+        ]
+        # p_j (< p_i) Shoup duals mod p_i for the Horner chain
+        self.pj_shoup = [
+            [(ps[j] << 32) // ps[i] for j in range(i)] for i in range(P)
+        ]
         # prefix products mod 2^64 (wrapping)
         mask64 = (1 << 64) - 1
         self.prefix_mod64 = []  # [1, p0, p0p1, ...] (length P)
@@ -169,27 +221,49 @@ class NegacyclicNtt:
             self.prefix_mod64.append(acc & mask64)
             acc = (acc * ps[i]) & mask64
         self.full_prod_mod64 = acc & mask64
-        # p_j mod p_i for the Garner inner chain
-        self.pmod = [[ps[j] % ps[i] for j in range(i)] for i in range(P)]
+
+    # -- helpers ----------------------------------------------------------------
+    def _bcast(self, tbl: np.ndarray, ndim_tail: int) -> jnp.ndarray:
+        """[P, h] table -> [P, 1...,(ndim_tail-1) ones, h] jnp constant."""
+        return jnp.asarray(tbl).reshape(
+            (self.num_primes,) + (1,) * (ndim_tail - 1) + (tbl.shape[-1],)
+        )
+
+    def p_like(self, ndim_after_p: int) -> jnp.ndarray:
+        return jnp.asarray(self.p_arr).reshape(
+            (self.num_primes,) + (1,) * ndim_after_p
+        )
 
     # -- forward ------------------------------------------------------------
-    def fwd(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Forward negacyclic NTT.
+    def fwd_digits(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Forward negacyclic NTT of *small signed* inputs (|x| < p, e.g.
+        gadget-decomposition digits). Division-free.
 
-        ``x``: int64 (signed digits) or uint64 torus values, shape [..., N].
-        Returns uint64 residues in [0, p), shape [P, ..., N].
+        ``x``: int64[..., N] -> uint64 residues in [0, p), [P, ..., N].
         """
         n = self.n
         assert x.shape[-1] == n
-        p = jnp.asarray(self.p_arr).reshape((self.num_primes,) + (1,) * x.ndim)
+        p = self.p_like(x.ndim)
+        xs = x[None].astype(jnp.int64)
+        r = jnp.where(xs < 0, xs + p.astype(jnp.int64), xs).astype(jnp.uint64)
+        twist = self._bcast(self.twist, x.ndim)
+        twist_s = self._bcast(self.twist_shoup, x.ndim)
+        r = shoup_mul(r, twist, twist_s, p)
+        return self._fwd_stages(r, p)
+
+    def fwd(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Forward negacyclic NTT of u64 torus values (cold path: key
+        transforms, generic polymul; uses one remainder for the initial
+        reduction). int64 inputs are routed to :meth:`fwd_digits`."""
         if x.dtype == jnp.int64:
-            r = jnp.remainder(x[None], p.astype(jnp.int64)).astype(jnp.uint64)
-        else:
-            r = jnp.remainder(x[None].astype(jnp.uint64), p)
-        twist = jnp.asarray(self.twist).reshape(
-            (self.num_primes,) + (1,) * (x.ndim - 1) + (n,)
-        )
-        r = (r * twist) % p
+            return self.fwd_digits(x)
+        n = self.n
+        assert x.shape[-1] == n
+        p = self.p_like(x.ndim)
+        r = jnp.remainder(x[None].astype(jnp.uint64), p)
+        twist = self._bcast(self.twist, x.ndim)
+        twist_s = self._bcast(self.twist_shoup, x.ndim)
+        r = shoup_mul(r, twist, twist_s, p)
         return self._fwd_stages(r, p)
 
     def _fwd_stages(self, r: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
@@ -201,13 +275,12 @@ class NegacyclicNtt:
             rr = r.reshape(lead + (n // m, 2, h))
             a = rr[..., 0, :]
             b = rr[..., 1, :]
-            w = jnp.asarray(self.tw_fwd[s]).reshape(
-                (self.num_primes,) + (1,) * (r.ndim - 1) + (h,)
-            )
+            w = self._bcast(self.tw_fwd[s], r.ndim)
+            ws = self._bcast(self.tw_fwd_shoup[s], r.ndim)
             pp = p[..., None]
             u = a + b
             u = jnp.where(u >= pp, u - pp, u)
-            v = ((a - b + pp) * w) % pp
+            v = shoup_mul(a - b + pp, w, ws, pp)
             r = jnp.stack([u, v], axis=-2).reshape(lead + (n,))
         return r
 
@@ -216,9 +289,7 @@ class NegacyclicNtt:
         """Inverse transform, returning residues (mod each prime) of the
         *integer* result coefficients, shape [P, ..., N] uint64."""
         n = self.n
-        p = jnp.asarray(self.p_arr).reshape(
-            (self.num_primes,) + (1,) * (xhat.ndim - 1)
-        )
+        p = self.p_like(xhat.ndim - 1)
         r = xhat
         lead = r.shape[:-1]
         for s in reversed(range(self.log_n)):
@@ -227,26 +298,24 @@ class NegacyclicNtt:
             rr = r.reshape(lead + (n // m, 2, h))
             u = rr[..., 0, :]
             v = rr[..., 1, :]
-            w = jnp.asarray(self.tw_inv[s]).reshape(
-                (self.num_primes,) + (1,) * (r.ndim - 1) + (h,)
-            )
+            w = self._bcast(self.tw_inv[s], r.ndim)
+            ws = self._bcast(self.tw_inv_shoup[s], r.ndim)
             pp = p[..., None]
-            bw = (v * w) % pp
+            bw = shoup_mul(v, w, ws, pp)
             a = u + bw
             a = jnp.where(a >= pp, a - pp, a)
             b = u - bw + pp
             b = jnp.where(b >= pp, b - pp, b)
             r = jnp.stack([a, b], axis=-2).reshape(lead + (n,))
-        untwist = jnp.asarray(self.untwist).reshape(
-            (self.num_primes,) + (1,) * (xhat.ndim - 2) + (n,)
-        )
-        return (r * untwist) % p
+        untwist = self._bcast(self.untwist, xhat.ndim - 1)
+        untwist_s = self._bcast(self.untwist_shoup, xhat.ndim - 1)
+        return shoup_mul(r, untwist, untwist_s, p)
 
     # -- pointwise ----------------------------------------------------------
     def pointwise_mul(self, ahat: jnp.ndarray, bhat: jnp.ndarray) -> jnp.ndarray:
-        p = jnp.asarray(self.p_arr).reshape(
-            (self.num_primes,) + (1,) * (max(ahat.ndim, bhat.ndim) - 1)
-        )
+        """Generic (cold-path) pointwise product; hot paths use
+        ``shoup_mul`` against precomputed key duals instead."""
+        p = self.p_like(max(ahat.ndim, bhat.ndim) - 1)
         return (ahat * bhat) % p
 
     # -- CRT reconstruction ---------------------------------------------------
@@ -254,7 +323,8 @@ class NegacyclicNtt:
         """Garner mixed-radix CRT with sign correction: maps residues of a
         centered integer x (|x| < prod(primes)/2) to x mod 2^64.
 
-        Semantics: tfhe-ntt native64.rs ``reconstruct_32bit_01234``.
+        Semantics: tfhe-ntt native64.rs ``reconstruct_32bit_01234``;
+        division-free (Shoup duals of the Garner constants).
         ``residues``: uint64 [P, ...] -> uint64 [...].
         """
         P = self.num_primes
@@ -265,12 +335,19 @@ class NegacyclicNtt:
             pi = ps[i]
             # inner = v0 + p0*(v1 + p1*(v2 + ...)) with each product reduced
             # mod p_i (Horner, innermost first). v_j < p_j < p_i so each
-            # partial stays < 2*p_i; 2*p_i + m_i - inner stays non-negative.
+            # partial stays < 2*p_i < 2^31 — Shoup-safe.
             acc = v[i - 1]
             for j in range(i - 2, -1, -1):
-                acc = v[j] + (ps[j] * acc) % pi
-            diff = jnp.uint64(2) * pi + m[i] - acc
-            vi = ((diff % pi) * jnp.uint64(self.garner_inv[i - 1])) % pi
+                acc = v[j] + shoup_mul(
+                    acc, ps[j], jnp.uint64(self.pj_shoup[i][j]), pi
+                )
+            diff = jnp.uint64(2) * pi + m[i] - acc  # < 3*p_i < 2^32
+            vi = shoup_mul(
+                diff,
+                jnp.uint64(self.garner_inv[i - 1]),
+                jnp.uint64(self.garner_inv_shoup[i - 1]),
+                pi,
+            )
             v.append(vi)
         # positive candidate mod 2^64 (wrapping)
         pos = jnp.zeros_like(v[0])

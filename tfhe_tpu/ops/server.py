@@ -149,10 +149,14 @@ def external_product_ntt(
 ) -> jnp.ndarray:
     """GGSW (transform domain) x GLWE -> GLWE, exact mod 2^64.
 
-    ``ggsw_hat``: u32/u64[P, l, R, R, N] NTT residues (R = k+1)
+    ``ggsw_hat``: u32[2, P, l, R, R, N] — NTT residues and their Shoup duals
+                  (floor(res * 2^32 / p)), R = k+1
     ``glwe``:     u64[..., R, N]
     Returns u64[..., R, N] (the external product; caller adds to the acc).
+    Division-free: the MAC is Shoup multiplication against the key duals.
     """
+    import math
+
     P = plan.num_primes
     R = glwe.shape[-2]
     N = glwe.shape[-1]
@@ -160,14 +164,21 @@ def external_product_ntt(
 
     digits = decompose(glwe, base_log, levels)  # [..., R, N, l]
     digits = jnp.moveaxis(digits, -1, -3)  # [..., l, R, N]
-    dhat = plan.fwd(digits)  # [P, ..., l, R, N]
+    dhat = plan.fwd_digits(digits)  # [P, ..., l, R, N]
 
-    g = ggsw_hat.astype(_U64)
-    g = g.reshape((P,) + (1,) * len(batch) + g.shape[1:])  # [P, 1.., l, R, C, N]
-    p = jnp.asarray(plan.p_arr).reshape((P,) + (1,) * (dhat.ndim))
+    g = ggsw_hat[0].astype(_U64)
+    gs = ggsw_hat[1].astype(_U64)
+    bshape = (P,) + (1,) * len(batch) + g.shape[1:]
+    g = g.reshape(bshape)  # [P, 1.., l, R, C, N]
+    gs = gs.reshape(bshape)
+    p = plan.p_like(dhat.ndim)
 
-    prod = (dhat[..., None, :] * g) % p  # [P, ..., l, R, C, N]
-    acc_hat = jnp.sum(prod, axis=(-4, -3)) % p[..., 0, 0]  # [P, ..., C, N]
+    prod = ntt_mod.shoup_mul(dhat[..., None, :], g, gs, p)  # [P, ..., l, R, C, N]
+    acc_hat = jnp.sum(prod, axis=(-4, -3))  # [P, ..., C, N] — < l*R*p
+    n_terms = levels * R
+    acc_hat = ntt_mod.cond_sub_ladder(
+        acc_hat, p[..., 0, 0], max(1, math.ceil(math.log2(n_terms)))
+    )
     residues = plan.inv(acc_hat)
     return plan.reconstruct_u64(residues)
 
@@ -203,9 +214,9 @@ def blind_rotate(
     ``lut``:      u64[..., R, N] (trivial GLWE of the accumulator)
     ``msed_mask``: u64[..., n] values in [0, 2N)
     ``msed_body``: u64[...]     value  in [0, 2N)
-    ``bsk_hat``:  u32[P, n, l, R, R, N]
+    ``bsk_hat``:  u32[2, P, n, l, R, R, N] (residues + Shoup duals)
     """
-    n = bsk_hat.shape[1]
+    n = bsk_hat.shape[2]
     # lut <- lut * X^{-b}
     acc = monomial_div(lut, msed_body[..., None])
 
@@ -213,7 +224,7 @@ def blind_rotate(
         a_i = lax.dynamic_index_in_dim(msed_mask, i, axis=-1, keepdims=False)
         # ct1 = acc * X^{a_i} - acc  (fused monomial-mul-subtract)
         ct1 = monomial_mul(acc, a_i[..., None]) - acc
-        ggsw = lax.dynamic_index_in_dim(bsk_hat, i, axis=1, keepdims=False)
+        ggsw = lax.dynamic_index_in_dim(bsk_hat, i, axis=2, keepdims=False)
         return acc + external_product_ntt(ggsw, ct1, base_log, levels, plan)
 
     return lax.fori_loop(0, n, body_fn, acc)
