@@ -1,0 +1,76 @@
+"""Headline benchmark: batched shortint 2_2 KS->PBS throughput on one chip.
+
+Mirrors the reference's batched PBS throughput benchmark
+(``tfhe-benchmark/benches/core_crypto/pbs_bench.rs:232`` mem_optimized_batched_pbs;
+``ks_pbs_bench.rs``) on PARAM_MESSAGE_2_CARRY_2_KS_PBS-class parameters.
+
+Prints ONE JSON line:
+  {"metric": "ks_pbs_throughput_2_2", "value": <PBS/s>, "unit": "PBS/s",
+   "vs_baseline": <value / 1075>}
+
+Baseline = 1075 PBS/s: the best published per-device GPU number for this
+parameter class (1x H100 KS+multibit-PBS 2-bit at 930 us,
+tfhe/docs/.gitbook/assets/gpu-pbs-benchmark-tuniform-2m128.svg — see
+BASELINE.md "Implied per-device PBS throughput").
+
+Correctness is asserted (real keys, real encryption, LUT applied, decrypted
+and checked) before timing.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PBS_PER_S = 1075.0
+
+
+def main():
+    import jax
+
+    from tfhe_tpu.shortint.client_key import ClientKey
+    from tfhe_tpu.shortint.server_key import ServerKey
+    from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    ck = ClientKey.generate(P, seed=42)
+    sk = ServerKey.generate(ck)
+
+    mm = P.message_modulus
+    msgs = np.arange(batch, dtype=np.uint64) % mm
+    ct = ck.encrypt(msgs)
+    lut = sk.generate_lookup_table(lambda x: (3 * x + 1) % mm)
+
+    # correctness gate (also triggers compile)
+    out = sk.apply_lookup_table(ct, lut)
+    jax.block_until_ready(out.ct)
+    dec = np.asarray(ck.decrypt(out))
+    expect = (3 * msgs + 1) % mm
+    assert np.array_equal(dec, expect), "PBS correctness check failed"
+
+    # steady-state timing: LUT chosen so outputs stay in range for re-use
+    iters = 3
+    t0 = time.perf_counter()
+    cur = out
+    for _ in range(iters):
+        cur = sk.apply_lookup_table(cur, lut)
+        jax.block_until_ready(cur.ct)
+    t1 = time.perf_counter()
+
+    per_iter = (t1 - t0) / iters
+    pbs_per_s = batch / per_iter
+    print(
+        json.dumps(
+            {
+                "metric": "ks_pbs_throughput_2_2",
+                "value": round(pbs_per_s, 2),
+                "unit": "PBS/s",
+                "vs_baseline": round(pbs_per_s / BASELINE_PBS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
