@@ -1,0 +1,540 @@
+"""Fused Pallas TPU kernel for one blind-rotation step (the PBS hot loop).
+
+One kernel invocation performs, for a tile of ciphertexts (batch on
+sublanes, polynomial coefficients on lanes):
+
+    rotate(acc, X^{a_i}) -> subtract -> signed gadget decompose ->
+    forward negacyclic NTT (per CRT prime) -> MAC against the GGSW row
+    (Shoup multiplication against precomputed key duals) -> inverse NTT ->
+    Garner CRT reconstruction mod 2^64 -> 64-bit accumulate into acc
+
+which is exactly the reference's ``add_external_product_assign`` inside
+``blind_rotate_assign`` (fft_impl/fft64/crypto/bootstrap.rs:294-381,
+ggsw.rs:483-640), re-designed for the TPU vector unit:
+
+- all arithmetic is uint32 (u64 torus values are (hi, lo) limb pairs;
+  32x32->64 products via 16-bit half-word splits) — no emulated u64;
+- modular multiplication is division-free Shoup: q = hi32(a * w_shoup),
+  r = a*w - q*p, with the *lazy* bound r < 2p carried through butterflies;
+- butterfly pairing: large strides (h >= 128) use static lane slices
+  (no redundant work); small strides use lane rolls + masked selects;
+- the per-ciphertext monomial rotation X^{a} uses the binary decomposition
+  of a: log2(2N) conditional static rolls with per-sublane bit masks
+  (data-independent, no gathers);
+- the n-step loop is a ``lax.scan`` outside the kernel: XLA streams the
+  bootstrap key (one GGSW per step) HBM->VMEM while compute runs.
+
+The CRT/NTT math (primes, twiddles, Garner constants) comes from
+:class:`tfhe_tpu.ops.ntt.NegacyclicNtt` so this kernel is bit-identical to
+the portable jnp path in :mod:`tfhe_tpu.ops.server`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ntt as ntt_mod
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def _roll(x, shift, axis):
+    """Lane roll; pltpu.roll inside kernels, swappable to jnp.roll in tests."""
+    return pltpu.roll(x, np.int32(shift), axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# u32 limb arithmetic
+# ---------------------------------------------------------------------------
+
+def _mul_hi(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """High 32 bits of the 64-bit product of two u32 arrays."""
+    ah = a >> U32(16)
+    al = a & U32(0xFFFF)
+    bh = b >> U32(16)
+    bl = b & U32(0xFFFF)
+    t0 = al * bl
+    t1 = al * bh
+    t2 = ah * bl
+    t3 = ah * bh
+    m = (t0 >> U32(16)) + (t1 & U32(0xFFFF)) + (t2 & U32(0xFFFF))
+    return t3 + (t1 >> U32(16)) + (t2 >> U32(16)) + (m >> U32(16))
+
+
+def _mul_hi_lo(a: jnp.ndarray, b: jnp.ndarray):
+    """(hi, lo) of the 64-bit product of two u32 arrays."""
+    ah = a >> U32(16)
+    al = a & U32(0xFFFF)
+    bh = b >> U32(16)
+    bl = b & U32(0xFFFF)
+    t0 = al * bl
+    t1 = al * bh
+    t2 = ah * bl
+    t3 = ah * bh
+    m = (t0 >> U32(16)) + (t1 & U32(0xFFFF)) + (t2 & U32(0xFFFF))
+    lo = (t0 & U32(0xFFFF)) | (m << U32(16))
+    hi = t3 + (t1 >> U32(16)) + (t2 >> U32(16)) + (m >> U32(16))
+    return hi, lo
+
+
+def _shoup(a: jnp.ndarray, w, w_shoup, p) -> jnp.ndarray:
+    """(a * w) mod p, lazy: result < 2p. Valid for ANY u32 ``a``, w < p."""
+    q = _mul_hi(a, w_shoup)
+    return a * w - q * p  # exact low-32 of a value < 2p < 2^32
+
+
+def _condsub(x: jnp.ndarray, c) -> jnp.ndarray:
+    return jnp.where(x >= c, x - c, x)
+
+
+def _neg64(hi: jnp.ndarray, lo: jnp.ndarray):
+    """Two's-complement negation of (hi, lo) u64 limbs."""
+    nlo = U32(0) - lo
+    nhi = ~hi + jnp.where(lo == U32(0), U32(1), U32(0))
+    return nhi, nlo
+
+
+def _sub64(ahi, alo, bhi, blo):
+    lo = alo - blo
+    borrow = jnp.where(alo < blo, U32(1), U32(0))
+    hi = ahi - bhi - borrow
+    return hi, lo
+
+
+def _add64(ahi, alo, bhi, blo):
+    lo = alo + blo
+    carry = jnp.where(lo < alo, U32(1), U32(0))
+    hi = ahi + bhi + carry
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# kernel-constant tables (built from the NegacyclicNtt plan)
+# ---------------------------------------------------------------------------
+
+class _KernelTables:
+    """Lane-layout twiddle/mask tables for the in-kernel NTT.
+
+    Per forward/inverse stage s (stride h = N >> (s+1)), a full-width lane
+    table where position j in the lower half of its butterfly block
+    (j mod 2h >= h) holds twiddle w_{j mod 2h - h}; upper positions hold 0
+    (masked out). ``twist``/``untwist`` are the psi-power tables.
+    """
+
+    def __init__(self, plan: ntt_mod.NegacyclicNtt):
+        n = plan.n
+        log_n = plan.log_n
+        P = plan.num_primes
+        self.plan = plan
+
+        def lane_table(stage_tbl):
+            # stage_tbl: [P, h] -> [P, N] lane layout
+            out = np.zeros((P, n), dtype=np.uint32)
+            h = stage_tbl.shape[1]
+            j = np.arange(n)
+            lower = (j % (2 * h)) >= h
+            idx = (j % (2 * h)) - h
+            for pi in range(P):
+                out[pi] = np.where(lower, stage_tbl[pi][np.clip(idx, 0, h - 1)], 0)
+            return out
+
+        self.tw_fwd = np.stack([lane_table(plan.tw_fwd[s]) for s in range(log_n)], 1)
+        self.tw_fwd_sh = np.stack(
+            [lane_table(plan.tw_fwd_shoup[s]) for s in range(log_n)], 1
+        )
+        self.tw_inv = np.stack([lane_table(plan.tw_inv[s]) for s in range(log_n)], 1)
+        self.tw_inv_sh = np.stack(
+            [lane_table(plan.tw_inv_shoup[s]) for s in range(log_n)], 1
+        )
+        # [P, log_n, N] each
+        self.twist = plan.twist.astype(np.uint32)
+        self.twist_sh = plan.twist_shoup.astype(np.uint32)
+        self.untwist = plan.untwist.astype(np.uint32)
+        self.untwist_sh = plan.untwist_shoup.astype(np.uint32)
+        j = np.arange(n)
+        self.upper = np.stack(
+            [((j % (n >> s)) < ((n >> s) >> 1)).astype(np.uint32) for s in range(log_n)]
+        )  # [log_n, N]: 1 at upper butterfly positions of stage s
+
+
+@functools.lru_cache(maxsize=None)
+def _get_tables(n: int, num_primes: int) -> _KernelTables:
+    return _KernelTables(ntt_mod.get_plan(n, num_primes))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel building blocks (operate on [Bt, N] u32 values)
+# ---------------------------------------------------------------------------
+
+def _fwd_stage_sliced(x, h, w_row, wsh_row, p, p2):
+    """One forward DIF stage via static lane slices (h >= 128)."""
+    n = x.shape[-1]
+    pieces = []
+    for b in range(n // (2 * h)):
+        a = x[:, b * 2 * h : b * 2 * h + h]
+        bb = x[:, b * 2 * h + h : (b + 1) * 2 * h]
+        u = _condsub(a + bb, p2)
+        t = a + p2 - bb
+        w = w_row[:, b * 2 * h + h : (b + 1) * 2 * h]
+        wsh = wsh_row[:, b * 2 * h + h : (b + 1) * 2 * h]
+        v = _shoup(t, w, wsh, p)
+        pieces.extend([u, v])
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def _fwd_stage_rolled(x, h, w_row, wsh_row, upper_row, p, p2):
+    """One forward DIF stage via lane rolls (h < 128)."""
+    n = x.shape[-1]
+    rm = _roll(x, n - h, 1)  # x[j+h] at j
+    rp = _roll(x, h, 1)  # x[j-h] at j
+    u = _condsub(x + rm, p2)
+    t = rp + p2 - x
+    v = _shoup(t, w_row, wsh_row, p)
+    return jnp.where(upper_row != U32(0), u, v)
+
+
+def _inv_stage_sliced(x, h, w_row, wsh_row, p, p2):
+    n = x.shape[-1]
+    pieces = []
+    for b in range(n // (2 * h)):
+        u = x[:, b * 2 * h : b * 2 * h + h]
+        v = x[:, b * 2 * h + h : (b + 1) * 2 * h]
+        w = w_row[:, b * 2 * h + h : (b + 1) * 2 * h]
+        wsh = wsh_row[:, b * 2 * h + h : (b + 1) * 2 * h]
+        bw = _shoup(v, w, wsh, p)
+        a = _condsub(u + bw, p2)
+        bpiece = _condsub(u + p2 - bw, p2)
+        pieces.extend([a, bpiece])
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def _inv_stage_rolled(x, h, w_row, wsh_row, upper_row, p, p2):
+    bw = _shoup(x, w_row, wsh_row, p)  # valid at lower positions
+    n = x.shape[-1]
+    a = _condsub(x + _roll(bw, n - h, 1), p2)
+    b = _condsub(_roll(x, h, 1) + p2 - bw, p2)
+    return jnp.where(upper_row != U32(0), a, b)
+
+
+_SLICE_MIN_H = 128
+
+
+def _fwd_ntt(x, pi, tabs_c, p, p2, log_n):
+    """Forward negacyclic NTT of residues x (< 2p) for prime index pi.
+
+    ``tabs_c``: dict of jnp constant tables. Output < 2p.
+    """
+    n = x.shape[-1]
+    x = _shoup(x, tabs_c["twist"][pi], tabs_c["twist_sh"][pi], p)
+    for s in range(log_n):
+        h = (n >> s) >> 1
+        w_row = tabs_c["tw_fwd"][pi, s][None]
+        wsh_row = tabs_c["tw_fwd_sh"][pi, s][None]
+        if h >= _SLICE_MIN_H:
+            x = _fwd_stage_sliced(x, h, w_row, wsh_row, p, p2)
+        else:
+            x = _fwd_stage_rolled(x, h, w_row, wsh_row, tabs_c["upper"][s][None], p, p2)
+    return x
+
+
+def _inv_ntt(x, pi, tabs_c, p, p2, log_n):
+    """Inverse transform; input < 2p, output fully reduced < p."""
+    n = x.shape[-1]
+    for s in reversed(range(log_n)):
+        h = (n >> s) >> 1
+        w_row = tabs_c["tw_inv"][pi, s][None]
+        wsh_row = tabs_c["tw_inv_sh"][pi, s][None]
+        if h >= _SLICE_MIN_H:
+            x = _inv_stage_sliced(x, h, w_row, wsh_row, p, p2)
+        else:
+            x = _inv_stage_rolled(x, h, w_row, wsh_row, tabs_c["upper"][s][None], p, p2)
+    x = _shoup(x, tabs_c["untwist"][pi], tabs_c["untwist_sh"][pi], p)
+    return _condsub(x, p)  # < 2p -> < p (shoup output is already < 2p)
+
+
+def _negacyclic_rot(hi, lo, a_bits, lane_idx, log_2n):
+    """(hi, lo) * X^{a} with per-sublane rotation amount a in [0, 2N).
+
+    ``a_bits``: u32 [Bt, 1]; binary-decomposed conditional static rolls.
+    """
+    n = hi.shape[-1]
+    for j in range(log_2n):
+        s = 1 << j
+        bit = (a_bits >> U32(j)) & U32(1)
+        if s < n:
+            rhi = _roll(hi, s, 1)
+            rlo = _roll(lo, s, 1)
+            nhi, nlo = _neg64(rhi, rlo)
+            wrap = lane_idx < U32(s)
+            rhi = jnp.where(wrap, nhi, rhi)
+            rlo = jnp.where(wrap, nlo, rlo)
+        else:  # s == n: X^N = -1
+            rhi, rlo = _neg64(hi, lo)
+        take = bit != U32(0)
+        hi = jnp.where(take, rhi, hi)
+        lo = jnp.where(take, rlo, lo)
+    return hi, lo
+
+
+def _decompose_u32(hi, lo, base_log, levels):
+    """Balanced signed decomposition of (hi, lo) u64 values; returns a list
+    of ``levels`` int32 digit arrays (level ``levels`` first), bit-identical
+    to :func:`tfhe_tpu.ops.decomp.decompose`. Requires base_log*levels <= 31.
+    """
+    rep = base_log * levels
+    assert rep <= 31, "kernel decomposition supports base_log*levels <= 31"
+    non_rep = 64 - rep  # >= 33: the state comes from the hi limb only
+    sh = non_rep - 1 - 32
+    res = hi >> U32(sh) if sh else hi
+    rounding = res & U32(1)
+    res = (res + U32(1)) >> U32(1)
+    res = res & U32((1 << rep) - 1)
+    shifted_r = rounding << U32(rep - 1)
+    need_bal = (((res - U32(1)) | shifted_r) & res) >> U32(rep - 1)
+    state = (res - (need_bal << U32(rep))).astype(I32)  # signed
+    digits = []
+    mod_b = I32((1 << base_log) - 1)
+    for _ in range(levels):
+        d = state & mod_b
+        state = state >> I32(base_log)  # arithmetic shift
+        carry = (((d - I32(1)) | state) & d) >> I32(base_log - 1)
+        state = state + carry
+        digits.append(d - (carry << I32(base_log)))
+    return digits
+
+
+# ---------------------------------------------------------------------------
+# the fused step kernel
+# ---------------------------------------------------------------------------
+
+def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables):
+    log_n = n.bit_length() - 1
+    log_2n = log_n + 1
+    plan = tabs.plan
+    primes = plan.primes
+    P = num_primes
+
+    # Garner constants (python ints baked into the kernel)
+    garner_inv = plan.garner_inv
+    garner_inv_sh = [int(x) for x in plan.garner_inv_shoup]
+    pj_sh = plan.pj_shoup
+    prefix = plan.prefix_mod64  # u64 python ints
+    full_prod = plan.full_prod_mod64
+
+    def kernel(a_ref, bsk_ref, tf_ref, tfs_ref, ti_ref, tis_ref, tw_ref,
+               tws_ref, utw_ref, utws_ref, up_ref, acc_hi_ref, acc_lo_ref,
+               out_hi_ref, out_lo_ref):
+        tabs_c = {
+            "tw_fwd": tf_ref[:], "tw_fwd_sh": tfs_ref[:],
+            "tw_inv": ti_ref[:], "tw_inv_sh": tis_ref[:],
+            "twist": tw_ref[:], "twist_sh": tws_ref[:],
+            "untwist": utw_ref[:], "untwist_sh": utws_ref[:],
+            "upper": up_ref[:],
+        }
+        a_bits = a_ref[:]  # [Bt, 1] u32
+        lane_idx = lax.broadcasted_iota(U32, (1, n), 1)
+
+        # 1) rotate + subtract + decompose, per input poly r
+        digit_polys = []  # [levels * R] entries of [Bt, N] i32 (level-major)
+        per_r_digits = []
+        for r in range(R):
+            ahi = acc_hi_ref[r]
+            alo = acc_lo_ref[r]
+            rhi, rlo = _negacyclic_rot(ahi, alo, a_bits, lane_idx, log_2n)
+            dhi, dlo = _sub64(rhi, rlo, ahi, alo)
+            per_r_digits.append(_decompose_u32(dhi, dlo, base_log, levels))
+        for lev in range(levels):  # level-major to match GGSW layout
+            for r in range(R):
+                digit_polys.append(per_r_digits[r][lev])
+
+        # 2) per prime: fwd NTT digits, MAC against GGSW, inverse NTT
+        residues = []  # [P][R] of [Bt, N] u32, canonical < p
+        for pi in range(P):
+            p = U32(primes[pi])
+            p2 = U32(2 * primes[pi])
+            dhat = []
+            for j in range(levels * R):
+                d = digit_polys[j]
+                rres = jnp.where(d < I32(0), d + p.astype(I32), d).astype(U32)
+                dhat.append(_fwd_ntt(rres, pi, tabs_c, p, p2, log_n))
+            res_p = []
+            for c in range(R):
+                acc_m = None
+                for j in range(levels * R):
+                    g = bsk_ref[0, pi, j, c][None]  # [1, N]
+                    gsh = bsk_ref[1, pi, j, c][None]
+                    term = _shoup(dhat[j], g, gsh, p)  # < 2p
+                    acc_m = term if acc_m is None else _condsub(acc_m + term, p2)
+                res_p.append(_inv_ntt(acc_m, pi, tabs_c, p, p2, log_n))
+            residues.append(res_p)
+
+        # 3) Garner CRT -> (hi, lo) mod 2^64, accumulate into acc
+        for c in range(R):
+            m = [residues[pi][c] for pi in range(P)]
+            v = [m[0]]
+            for i in range(1, P):
+                pi_p = U32(primes[i])
+                acc_g = v[i - 1]
+                for j in range(i - 2, -1, -1):
+                    acc_g = v[j] + _shoup(
+                        acc_g, U32(primes[j]), U32(pj_sh[i][j]), pi_p
+                    )
+                # acc_g < 3*p_i (each v_j < p_j and shoup < 2p_i), so a 3p_i
+                # offset keeps diff in (0, 4p_i) without u32 overflow
+                diff = U32(3 * primes[i]) + m[i] - acc_g
+                vi = _shoup(diff, U32(garner_inv[i - 1]), U32(garner_inv_sh[i - 1]), pi_p)
+                vi = _condsub(vi, pi_p)
+                v.append(vi)
+            pos_hi = jnp.zeros_like(v[0])
+            pos_lo = jnp.zeros_like(v[0])
+            for i in range(P):
+                pre = prefix[i]
+                pre_lo = U32(pre & 0xFFFFFFFF)
+                pre_hi = U32((pre >> 32) & 0xFFFFFFFF)
+                thi, tlo = _mul_hi_lo(v[i], pre_lo)
+                thi = thi + v[i] * pre_hi
+                pos_hi, pos_lo = _add64(pos_hi, pos_lo, thi, tlo)
+            # sign correction: if v_last > p_last/2, subtract prod(primes)
+            neg_hi, neg_lo = _sub64(
+                pos_hi, pos_lo,
+                U32((full_prod >> 32) & 0xFFFFFFFF), U32(full_prod & 0xFFFFFFFF),
+            )
+            sign = v[P - 1] > U32(primes[P - 1] // 2)
+            ehi = jnp.where(sign, neg_hi, pos_hi)
+            elo = jnp.where(sign, neg_lo, pos_lo)
+            ohi, olo = _add64(acc_hi_ref[c], acc_lo_ref[c], ehi, elo)
+            out_hi_ref[c] = ohi
+            out_lo_ref[c] = olo
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile):
+    """Returns fn(a_ms_u32[B,1], bsk_step[2,P,l*R,R,N], acc_hi, acc_lo) ->
+    (acc_hi, acc_lo), each acc u32[R, B, N]."""
+    tabs = _get_tables(n, num_primes)
+    kernel = _make_step_kernel(n, num_primes, base_log, levels, R, tabs)
+    P = num_primes
+    log_n = n.bit_length() - 1
+
+    consts = [
+        tabs.tw_fwd, tabs.tw_fwd_sh, tabs.tw_inv, tabs.tw_inv_sh,
+        tabs.twist, tabs.twist_sh, tabs.untwist, tabs.untwist_sh, tabs.upper,
+    ]
+
+    def step(a_ms, bsk_step, acc_hi, acc_lo):
+        B = acc_hi.shape[1]
+        Bt = min(batch_tile, B)
+        assert B % Bt == 0
+        grid = (B // Bt,)
+        # index maps return explicit int32 zeros: under jax_enable_x64 plain
+        # Python 0 literals trace as i64 and Mosaic rejects the mixed tuple
+        z = np.int32(0)
+        full = lambda shape: pl.BlockSpec(
+            shape, (lambda i, _k=len(shape): (z,) * _k), memory_space=pltpu.VMEM
+        )
+        acc_spec = pl.BlockSpec(
+            (R, Bt, n), (lambda i: (z, i, z)), memory_space=pltpu.VMEM
+        )
+        a_spec = pl.BlockSpec((Bt, 1), (lambda i: (i, z)), memory_space=pltpu.VMEM)
+        interpret = jax.default_backend() == "cpu"  # tests without a TPU
+        out_hi, out_lo = pl.pallas_call(
+            kernel,
+            grid=grid,
+            interpret=interpret,
+            in_specs=[
+                a_spec,
+                full((2, P, levels * R, R, n)),
+                full((P, log_n, n)), full((P, log_n, n)),
+                full((P, log_n, n)), full((P, log_n, n)),
+                full((P, n)), full((P, n)), full((P, n)), full((P, n)),
+                full((log_n, n)),
+                acc_spec, acc_spec,
+            ],
+            out_specs=(acc_spec, acc_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((R, B, n), jnp.uint32),
+                jax.ShapeDtypeStruct((R, B, n), jnp.uint32),
+            ),
+            input_output_aliases={11: 0, 12: 1},
+        )(a_ms, bsk_step, *[jnp.asarray(c) for c in consts], acc_hi, acc_lo)
+        return out_hi, out_lo
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# host-visible entry: full blind rotation via scan over the fused kernel
+# ---------------------------------------------------------------------------
+
+def split_u64(x: jnp.ndarray):
+    """u64 -> (hi, lo) u32."""
+    return (x >> jnp.uint64(32)).astype(U32), x.astype(U32)
+
+
+def merge_u64(hi: jnp.ndarray, lo: jnp.ndarray):
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+
+
+def bsk_to_scan_layout(bsk_hat: jnp.ndarray) -> jnp.ndarray:
+    """[2, P, n, l, R, R, N] (residues+shoup) -> [n, 2, P, l*R, R, N]."""
+    two, P, nlwe, l, R, R2, N = bsk_hat.shape
+    x = jnp.moveaxis(bsk_hat, 2, 0)
+    return x.reshape(nlwe, two, P, l * R, R2, N)
+
+
+def scan_to_legacy_layout(bsk_scan: jnp.ndarray, levels: int) -> jnp.ndarray:
+    """Inverse of :func:`bsk_to_scan_layout` (for the portable jnp path)."""
+    nlwe, two, P, lR, R, N = bsk_scan.shape
+    x = bsk_scan.reshape(nlwe, two, P, levels, lR // levels, R, N)
+    return jnp.moveaxis(x, 0, 2)
+
+
+def blind_rotate_pallas(
+    lut: jnp.ndarray,
+    msed_mask: jnp.ndarray,
+    msed_body: jnp.ndarray,
+    bsk_scan: jnp.ndarray,
+    base_log: int,
+    levels: int,
+    plan: ntt_mod.NegacyclicNtt,
+    batch_tile: int = 8,
+) -> jnp.ndarray:
+    """Drop-in replacement for :func:`tfhe_tpu.ops.server.blind_rotate`
+    (same contract) using the fused Pallas step kernel.
+
+    ``lut``: u64[B, R, N]; ``msed_mask``: u64[B, n] in [0, 2N);
+    ``msed_body``: u64[B]; ``bsk_scan``: u32[n, 2, P, l*R, R, N].
+    """
+    from .polynomial import monomial_div
+
+    nsteps = bsk_scan.shape[0]
+    P = bsk_scan.shape[2]
+    R = bsk_scan.shape[4]
+    n = bsk_scan.shape[5]
+    B = lut.shape[0]
+
+    acc = monomial_div(lut, msed_body[..., None])  # u64 [B, R, N]
+    acc = jnp.moveaxis(acc, 1, 0)  # [R, B, N]
+    acc_hi, acc_lo = split_u64(acc)
+
+    step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile)
+    a_scan = jnp.moveaxis(msed_mask.astype(U32), 1, 0)[..., None]  # [n, B, 1]
+
+    def body(carry, xs):
+        hi, lo = carry
+        a_ms, bsk_step = xs
+        hi, lo = step_fn(a_ms, bsk_step, hi, lo)
+        return (hi, lo), None
+
+    (acc_hi, acc_lo), _ = lax.scan(body, (acc_hi, acc_lo), (a_scan, bsk_scan))
+    return jnp.moveaxis(merge_u64(acc_hi, acc_lo), 0, 1)  # [B, R, N]

@@ -83,6 +83,67 @@ def keyswitch(
 
 
 # ---------------------------------------------------------------------------
+# keyswitch, MXU path
+# ---------------------------------------------------------------------------
+
+def ksk_to_i8_limbs(ksk: "np.ndarray", base_log: int) -> "np.ndarray":
+    """Precompute the KSK in *signed base-256 limb* form for the MXU path.
+
+    Every u64 entry is rewritten as sum(limb_k * 256^k) mod 2^64 with
+    limb_k in [-128, 127] (the 9th carry limb contributes 2^64 == 0 and is
+    dropped). ``ksk``: u64[n_in, l, n_out+1] -> int8[n_in * l, (n_out+1) * 8].
+    """
+    import numpy as np
+
+    assert base_log <= 8, "digits must fit int8 for the MXU keyswitch"
+    v = np.asarray(ksk, dtype=np.uint64).copy()
+    limbs = np.empty(v.shape + (8,), dtype=np.int8)
+    for k in range(8):
+        r = (v & np.uint64(0xFF)).astype(np.int64)
+        r = np.where(r > 127, r - 256, r)
+        limbs[..., k] = r.astype(np.int8)
+        v = (v - r.astype(np.uint64)) >> np.uint64(8)
+    n_in, l, o = ksk.shape
+    return limbs.reshape(n_in * l, o * 8)
+
+
+def keyswitch_mxu(
+    ct: jnp.ndarray,
+    ksk_i8: jnp.ndarray,
+    base_log: int,
+    levels: int,
+) -> jnp.ndarray:
+    """LWE keyswitch as ONE int8 MXU matmul.
+
+    Same contract as :func:`keyswitch` (lwe_keyswitch.rs:137-230) but the
+    decompose-MAC reduction is expressed as ``digits[B, n_in*l] @
+    ksk_limbs[n_in*l, (n_out+1)*8] -> int32``, which XLA maps onto the MXU
+    int8 systolic path. Exactness: |digit| <= 2^(base_log-1) <= 128 and
+    |limb| <= 128, so |row sum| <= K * 2^14 < 2^31 for K up to 2^16.
+
+    ``ct``: u64[..., n_in+1]; ``ksk_i8``: int8[n_in*l, (n_out+1)*8].
+    """
+    K, O8 = ksk_i8.shape
+    n_in = K // levels
+    n_out = O8 // 8 - 1
+    a = ct[..., :n_in]
+    b = ct[..., n_in]
+    batch = ct.shape[:-1]
+
+    digits = decompose(a, base_log, levels)  # [..., n_in, l] int64, |d|<=B/2
+    d8 = digits.astype(jnp.int8).reshape(batch + (K,))
+    sums = jnp.dot(d8, ksk_i8, preferred_element_type=jnp.int32)
+    sums = sums.reshape(batch + (n_out + 1, 8))
+    # recombine limbs: total = sum_k sums_k << 8k (mod 2^64)
+    total = jnp.zeros(batch + (n_out + 1,), dtype=jnp.uint64)
+    for k in range(8):
+        total = total + (sums[..., k].astype(jnp.int64).astype(jnp.uint64) << jnp.uint64(8 * k))
+    out = jnp.zeros_like(total)
+    out = out.at[..., n_out].set(b)
+    return out - total
+
+
+# ---------------------------------------------------------------------------
 # modulus switch
 # ---------------------------------------------------------------------------
 
@@ -259,6 +320,59 @@ def sample_extract(glwe: jnp.ndarray, nth: int = 0) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # programmable bootstrap (classic)
 # ---------------------------------------------------------------------------
+
+def programmable_bootstrap_pallas(
+    ct_in: jnp.ndarray,
+    lut: jnp.ndarray,
+    bsk_scan: jnp.ndarray,
+    base_log: int,
+    levels: int,
+    plan,
+    centered_ms: bool = True,
+    extract_nth: int = 0,
+    batch_tile: int = 8,
+) -> jnp.ndarray:
+    """Classic PBS on the fused Pallas blind-rotation kernel (TPU hot path).
+
+    Same contract as :func:`programmable_bootstrap` but takes the bootstrap
+    key in scan layout (``pbs_kernel.bsk_to_scan_layout``). Arbitrary leading
+    batch dims; the batch is padded up to a multiple of ``batch_tile``.
+    """
+    from . import pbs_kernel as pk
+
+    N = plan.n
+    log_modulus = N.bit_length()
+    if centered_ms:
+        ms_mask, ms_body = lwe_centered_binary_modulus_switch(ct_in, log_modulus)
+    else:
+        ms_mask, ms_body = lwe_standard_modulus_switch(ct_in, log_modulus)
+
+    batch = ct_in.shape[:-1]
+    n_small = ct_in.shape[-1] - 1
+    R = bsk_scan.shape[4]
+    B = 1
+    for d in batch:
+        B *= d
+    ms_mask = ms_mask.reshape(B, n_small)
+    ms_body = ms_body.reshape(B)
+    if lut.ndim == 2:
+        lut_b = jnp.broadcast_to(lut, (B,) + lut.shape)
+    else:
+        lut_b = lut.reshape((B,) + lut.shape[-2:])
+    pad = (-B) % batch_tile
+    if pad:
+        ms_mask = jnp.concatenate([ms_mask, ms_mask[:pad]], 0)
+        ms_body = jnp.concatenate([ms_body, ms_body[:pad]], 0)
+        lut_b = jnp.concatenate([lut_b, lut_b[:pad]], 0)
+    rotated = pk.blind_rotate_pallas(
+        lut_b, ms_mask, ms_body, bsk_scan, base_log, levels, plan,
+        batch_tile=batch_tile,
+    )
+    if pad:
+        rotated = rotated[:B]
+    out = sample_extract(rotated, extract_nth)
+    return out.reshape(batch + (out.shape[-1],))
+
 
 def programmable_bootstrap(
     ct_in: jnp.ndarray,

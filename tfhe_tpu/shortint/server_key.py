@@ -30,35 +30,56 @@ from .client_key import ClientKey
 _jitted_ks_pbs_cache: dict = {}
 
 
+def use_pallas_default() -> bool:
+    """The fused Pallas kernels run on the TPU backend; the portable jnp
+    path covers CPU (tests, fallback)."""
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
-                   poly_size, num_primes, centered_ms):
-    """One compiled KS->PBS pipeline per parameter signature."""
+                   poly_size, num_primes, centered_ms, use_pallas):
+    """One compiled KS->PBS pipeline per parameter signature.
+
+    The keyswitch is always the int8-MXU matmul path; the PBS dispatches to
+    the fused Pallas blind-rotation kernel on TPU or the jnp path on CPU.
+    """
     import jax
 
     sig = (key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
-           poly_size, num_primes, centered_ms)
+           poly_size, num_primes, centered_ms, use_pallas)
     if sig in _jitted_ks_pbs_cache:
         return _jitted_ks_pbs_cache[sig]
     plan = ntt_mod.get_plan(poly_size, num_primes)
 
-    @jax.jit
-    def ks_pbs(ct, lut_acc, ksk, bsk_hat):
-        small = server_ops.keyswitch(ct, ksk, ks_base_log, ks_levels)
-        return server_ops.programmable_bootstrap(
-            small, lut_acc, bsk_hat, pbs_base_log, pbs_levels, plan,
-            centered_ms=centered_ms,
-        )
+    if use_pallas:
+        def _pbs(ct_small, lut_acc, bsk):
+            return server_ops.programmable_bootstrap_pallas(
+                ct_small, lut_acc, bsk, pbs_base_log, pbs_levels, plan,
+                centered_ms=centered_ms,
+            )
+    else:
+        def _pbs(ct_small, lut_acc, bsk):
+            from ..ops.pbs_kernel import scan_to_legacy_layout
+
+            return server_ops.programmable_bootstrap(
+                ct_small, lut_acc, scan_to_legacy_layout(bsk, pbs_levels),
+                pbs_base_log, pbs_levels, plan, centered_ms=centered_ms,
+            )
 
     @jax.jit
-    def pbs_only(ct_small, lut_acc, bsk_hat):
-        return server_ops.programmable_bootstrap(
-            ct_small, lut_acc, bsk_hat, pbs_base_log, pbs_levels, plan,
-            centered_ms=centered_ms,
-        )
+    def ks_pbs(ct, lut_acc, ksk_i8, bsk):
+        small = server_ops.keyswitch_mxu(ct, ksk_i8, ks_base_log, ks_levels)
+        return _pbs(small, lut_acc, bsk)
 
     @jax.jit
-    def ks_only(ct, ksk):
-        return server_ops.keyswitch(ct, ksk, ks_base_log, ks_levels)
+    def pbs_only(ct_small, lut_acc, bsk):
+        return _pbs(ct_small, lut_acc, bsk)
+
+    @jax.jit
+    def ks_only(ct, ksk_i8):
+        return server_ops.keyswitch_mxu(ct, ksk_i8, ks_base_log, ks_levels)
 
     fns = (ks_pbs, pbs_only, ks_only)
     _jitted_ks_pbs_cache[sig] = fns
@@ -68,10 +89,18 @@ def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_leve
 @dataclass
 class ServerKey:
     params: ClassicPBSParameters
-    ksk: Any  # jnp u64[n_big, l_ks, n_small+1]
-    bsk_hat: Any  # jnp u32[P, n_small, l_pbs, k+1, k+1, N]
+    ksk: Any  # jnp u64[n_big, l_ks, n_small+1] (canonical form, serialization)
+    ksk_i8: Any  # jnp int8[n_big*l_ks, (n_small+1)*8] — MXU limb form
+    bsk_scan: Any  # jnp u32[n_small, 2, P, l_pbs*(k+1), k+1, N] — kernel form
     num_primes: int
     max_degree: int = 0
+
+    @property
+    def bsk_hat(self) -> Any:
+        """Legacy [2, P, n, l, k+1, k+1, N] layout (jnp reference path)."""
+        from ..ops.pbs_kernel import scan_to_legacy_layout
+
+        return scan_to_legacy_layout(self.bsk_scan, self.params.pbs_level)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -101,10 +130,13 @@ class ServerKey:
         num_primes = cls._num_primes_for(p)
         bsk_hat = algo.bootstrap_key_to_ntt(bsk, num_primes)
         max_degree = p.message_modulus * p.carry_modulus - 1
+        from ..ops.pbs_kernel import bsk_to_scan_layout
+
         return cls(
             params=p,
             ksk=jnp.asarray(ksk.data),
-            bsk_hat=bsk_hat.residues,
+            ksk_i8=jnp.asarray(server_ops.ksk_to_i8_limbs(ksk.data, p.ks_base_log)),
+            bsk_scan=bsk_to_scan_layout(bsk_hat.residues),
             num_primes=num_primes,
             max_degree=max_degree,
         )
@@ -127,10 +159,11 @@ class ServerKey:
     def _fns(self):
         p = self.params
         return _get_ks_pbs_fn(
-            (self.ksk.shape, self.bsk_hat.shape),
+            (self.ksk.shape, self.bsk_scan.shape),
             p.ks_base_log, p.ks_level, p.pbs_base_log, p.pbs_level,
             p.polynomial_size, self.num_primes,
             p.modulus_switch_type == ModulusSwitchType.CENTERED_MEAN_NOISE_REDUCTION,
+            use_pallas_default(),
         )
 
     @property
@@ -179,7 +212,7 @@ class ServerKey:
     def apply_lookup_table(self, ct: ShortintCiphertext, lut: LookupTable) -> ShortintCiphertext:
         assert ct.under_key == "big", "KS->PBS pattern expects big-key input"
         ks_pbs, _, _ = self._fns
-        out = ks_pbs(ct.ct, lut.acc, self.ksk, self.bsk_hat)
+        out = ks_pbs(ct.ct, lut.acc, self.ksk_i8, self.bsk_scan)
         return ShortintCiphertext(
             ct=out,
             degree=lut.degree,
@@ -191,7 +224,7 @@ class ServerKey:
 
     def keyswitch(self, ct: ShortintCiphertext) -> ShortintCiphertext:
         _, _, ks = self._fns
-        out = ks(ct.ct, self.ksk)
+        out = ks(ct.ct, self.ksk_i8)
         return ct.with_ct(out)
 
     def message_extract(self, ct: ShortintCiphertext) -> ShortintCiphertext:
