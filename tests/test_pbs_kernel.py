@@ -1,0 +1,124 @@
+"""Parity tests for the fused Pallas PBS kernel vs the portable jnp path.
+
+The kernel's math helpers are plain jnp functions; swapping the lane-roll
+primitive for jnp.roll lets the whole kernel body run as a regular jnp
+program ("emulation mode"), which must be bit-identical to
+``ops.server.blind_rotate`` / ``external_product_ntt``. A separate test runs
+one real ``pallas_call`` in interpreter mode.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tfhe_tpu.ops import ntt as ntt_mod
+from tfhe_tpu.ops import pbs_kernel as pk
+from tfhe_tpu.ops import server as so
+from tfhe_tpu.ops.polynomial import monomial_mul
+
+N, P, R, BL, L, B = 256, 4, 2, 23, 1, 8
+
+
+def make_ggsw(rng, extra_shape=()):
+    """Shoup-consistent random GGSW in legacy layout [2, P, *extra, l, R, R, N]."""
+    plan = ntt_mod.get_plan(N, P)
+    g = np.stack(
+        [
+            rng.integers(0, plan.primes[pi], size=extra_shape + (L, R, R, N), dtype=np.uint64)
+            for pi in range(P)
+        ]
+    )
+    gs = np.empty_like(g)
+    for pi in range(P):
+        gs[pi] = (g[pi] << np.uint64(32)) // np.uint64(plan.primes[pi])
+    return jnp.asarray(np.stack([g, gs]).astype(np.uint32))
+
+
+@pytest.fixture
+def jnp_roll_mode(monkeypatch):
+    monkeypatch.setattr(pk, "_roll", lambda x, s, a: jnp.roll(x, s, axis=a))
+
+
+def _fake_run_kernel(acc, a, ggsw):
+    """Run the kernel body as plain jnp via fake refs."""
+    tabs = pk._get_tables(N, P)
+
+    class FakeRef:
+        def __init__(self, arr):
+            self.arr = jnp.asarray(arr)
+
+        def __getitem__(self, idx):
+            return self.arr[idx]
+
+    class FakeOut:
+        def __init__(self):
+            self.parts = {}
+
+        def __setitem__(self, idx, v):
+            self.parts[idx] = v
+
+    kernel = pk._make_step_kernel(N, P, BL, L, R, tabs)
+    hi, lo = pk.split_u64(jnp.moveaxis(acc, 1, 0))
+    consts = [
+        tabs.tw_fwd, tabs.tw_fwd_sh, tabs.tw_inv, tabs.tw_inv_sh,
+        tabs.twist, tabs.twist_sh, tabs.untwist, tabs.untwist_sh, tabs.upper,
+    ]
+    out_hi, out_lo = FakeOut(), FakeOut()
+    kernel(
+        FakeRef(jnp.asarray(a, jnp.uint32)[:, None]),
+        FakeRef(ggsw.reshape(2, P, L * R, R, N)),
+        *[FakeRef(c) for c in consts],
+        FakeRef(hi), FakeRef(lo), out_hi, out_lo,
+    )
+    ghi = jnp.stack([out_hi.parts[c] for c in range(R)])
+    glo = jnp.stack([out_lo.parts[c] for c in range(R)])
+    return jnp.moveaxis(pk.merge_u64(ghi, glo), 0, 1)
+
+
+def test_step_kernel_emulation_bit_exact(jnp_roll_mode):
+    plan = ntt_mod.get_plan(N, P)
+    rng = np.random.default_rng(11)
+    acc = jnp.asarray(rng.integers(0, 2**64, size=(B, R, N), dtype=np.uint64))
+    a = rng.integers(0, 2 * N, size=(B,), dtype=np.uint64)
+    ggsw = make_ggsw(rng)
+    ct1 = monomial_mul(acc, jnp.asarray(a)[:, None]) - acc
+    ref = np.asarray(acc + so.external_product_ntt(ggsw, ct1, BL, L, plan))
+    got = np.asarray(_fake_run_kernel(acc, a, ggsw))
+    assert np.array_equal(ref, got)
+
+
+def test_blind_rotate_pallas_interpret_bit_exact():
+    """One real pallas_call (interpret mode on CPU) over a short scan."""
+    plan = ntt_mod.get_plan(N, P)
+    rng = np.random.default_rng(7)
+    n_steps = 4
+    bsk = make_ggsw(rng, extra_shape=(n_steps,))  # [2, P, n, l, R, R, N]
+    lut = jnp.asarray(rng.integers(0, 2**64, size=(B, R, N), dtype=np.uint64))
+    mask = jnp.asarray(rng.integers(0, 2 * N, size=(B, n_steps), dtype=np.uint64))
+    body = jnp.asarray(rng.integers(0, 2 * N, size=(B,), dtype=np.uint64))
+    ref = so.blind_rotate(lut, mask, body, bsk, BL, L, plan)
+    got = pk.blind_rotate_pallas(
+        lut, mask, body, pk.bsk_to_scan_layout(bsk), BL, L, plan
+    )
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_layout_roundtrip():
+    rng = np.random.default_rng(3)
+    bsk = make_ggsw(rng, extra_shape=(5,))
+    scan = pk.bsk_to_scan_layout(bsk)
+    back = pk.scan_to_legacy_layout(scan, L)
+    assert np.array_equal(np.asarray(bsk), np.asarray(back))
+
+
+def test_keyswitch_mxu_bit_exact():
+    rng = np.random.default_rng(3)
+    n_in, l, n_out, bl, bsz = 256, 5, 130, 3, 7
+    ksk = rng.integers(0, 2**64, size=(n_in, l, n_out + 1), dtype=np.uint64)
+    ct = rng.integers(0, 2**64, size=(bsz, n_in + 1), dtype=np.uint64)
+    ref = so.keyswitch(jnp.asarray(ct), jnp.asarray(ksk), bl, l)
+    ksk8 = so.ksk_to_i8_limbs(ksk, bl)
+    new = so.keyswitch_mxu(jnp.asarray(ct), jnp.asarray(ksk8), bl, l)
+    assert np.array_equal(np.asarray(ref), np.asarray(new))
