@@ -29,13 +29,11 @@ BASELINE_PBS_PER_S = 1075.0
 def main():
     import jax
 
-    from tfhe_tpu.shortint.client_key import ClientKey
-    from tfhe_tpu.shortint.server_key import ServerKey
+    from tfhe_tpu.keycache import get_shortint_keys
     from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    ck = ClientKey.generate(P, seed=42)
-    sk = ServerKey.generate(ck)
+    ck, sk = get_shortint_keys(P, seed=42)
 
     mm = P.message_modulus
     msgs = np.arange(batch, dtype=np.uint64) % mm

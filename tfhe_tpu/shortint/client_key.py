@@ -24,25 +24,33 @@ class ClientKey:
     params: ClassicPBSParameters
     glwe_sk: GlweSecretKey
     lwe_sk: LweSecretKey  # the small key
-    # seeds for the encryption generator (fresh generator per encrypt call
-    # would repeat the stream; we keep a live generator)
+    # Two live generators with independent derived seed pairs: one consumed
+    # by server-key generation (BSK/KSK), one by fresh encryptions. Keeping
+    # them separate means keys restored from the keycache encrypt with the
+    # exact same stream as freshly generated ones.
     _enc_gen: EncryptionRandomGenerator = None
+    _keygen_gen: EncryptionRandomGenerator = None
+    seed: int = 0
 
     @classmethod
     def generate(cls, params: ClassicPBSParameters, seed: int = 0) -> "ClientKey":
         """Deterministic keygen from a root seed. Sub-seeds are derived from
         the root AES stream (the reference uses a seeder for each generator;
-        we derive: secret seed, encryption seed, noise seed)."""
+        we derive: secret seed, keygen mask/noise seeds, encrypt mask/noise
+        seeds)."""
         from ..utils.csprng import AesCtrGenerator
 
         root = AesCtrGenerator(seed)
-        s_seed, e_seed, n_seed = (int(x) for x in root.uniform_u64(3))
+        s_seed, ekg_seed, nkg_seed, e_seed, n_seed = (
+            int(x) for x in root.uniform_u64(5)
+        )
         sec = SecretRandomGenerator(s_seed)
         glwe_sk = algo.gen_glwe_secret_key(
             params.glwe_dimension, params.polynomial_size, sec
         )
         lwe_sk = algo.gen_lwe_secret_key(params.lwe_dimension, sec)
-        ck = cls(params=params, glwe_sk=glwe_sk, lwe_sk=lwe_sk)
+        ck = cls(params=params, glwe_sk=glwe_sk, lwe_sk=lwe_sk, seed=seed)
+        ck._keygen_gen = EncryptionRandomGenerator(ekg_seed, nkg_seed)
         ck._enc_gen = EncryptionRandomGenerator(e_seed, n_seed)
         return ck
 

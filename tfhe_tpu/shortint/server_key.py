@@ -110,7 +110,7 @@ class ServerKey:
         import jax.numpy as jnp
 
         p = client_key.params
-        gen = client_key._enc_gen
+        gen = client_key._keygen_gen
         bsk = algo.gen_bootstrap_key(
             client_key.lwe_sk,
             client_key.glwe_sk,
