@@ -213,14 +213,7 @@ class ServerKey:
         )
 
     def add(self, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertext:
-        mm = self.params.message_modulus
-        cm = self.params.carry_modulus
-        s = self.unchecked_add(a, b)
-        if np.any(s.degrees >= mm * cm) or np.any(
-            s.noise_levels > self.params.max_noise_level
-        ):
-            raise ValueError("add would overflow carry space; propagate first")
-        return self.full_propagate(s)
+        return self.add_parallelized(a, b)
 
     def unchecked_neg(self, a: RadixCiphertext) -> RadixCiphertext:
         """Per-block negation with degree-correction multiples of mm, plus
@@ -246,7 +239,7 @@ class ServerKey:
         return self.full_propagate(self.unchecked_neg(a))
 
     def sub(self, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertext:
-        return self.full_propagate(self.unchecked_add(a, self.unchecked_neg(b)))
+        return self.sub_parallelized(a, b)
 
     def scalar_add(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
         import jax.numpy as jnp
@@ -423,6 +416,695 @@ class ServerKey:
             cur = jnp.concatenate([bit[..., None, :], rest], axis=-2)
             counts = np.concatenate([[1], counts[take:]])
         return BooleanBlock(ct=cur[..., 0, :])
+
+    # ======================================================================
+    # parallel carry propagation (Hillis–Steele prefix scan over carry
+    # states) — reference integer/server_key/radix_parallel/add.rs:828-1260
+    # ======================================================================
+    #
+    # For the sum of two carry-clean operands every block value is
+    # <= 2(mm-1), so the carry into the next block is 0 or 1 and each block
+    # has a state in {NONE=0, PROPAGATE=1, GENERATE=2}. The prefix scan
+    # resolves all carries in ceil(log2(nb)) batched PBS rounds with the
+    # operator  x (.) y = x if x != P else y  (x = more significant).
+
+    def _trivial_zero_blocks(self, like: RadixCiphertext, count: int):
+        import jax.numpy as jnp
+
+        shape = like.ct.shape[:-2] + (count, like.ct.shape[-1])
+        return jnp.zeros(shape, dtype=jnp.uint64)
+
+    def _shift_blocks_right(self, blocks, d: int):
+        """blocks[..., i-d, :] at position i; trivial zeros shifted in."""
+        import jax.numpy as jnp
+
+        if d == 0:
+            return blocks
+        nb = blocks.shape[-2]
+        zeros = jnp.zeros_like(blocks[..., :d, :])
+        return jnp.concatenate([zeros, blocks[..., : nb - d, :]], axis=-2)
+
+    def _shift_blocks_left(self, blocks, d: int):
+        import jax.numpy as jnp
+
+        if d == 0:
+            return blocks
+        zeros = jnp.zeros_like(blocks[..., :d, :])
+        return jnp.concatenate([blocks[..., d:, :], zeros], axis=-2)
+
+    def _lut(self, f, degree=None):
+        lut = self.key.generate_lookup_table(f)
+        if degree is not None:
+            lut = LookupTable(acc=lut.acc, degree=degree)
+        return lut
+
+    def _pbs_blocks(self, blocks, degree_in: int, noise_in: int, lut: LookupTable):
+        """Batched PBS over raw block array [..., nb, dim]."""
+        from ..shortint.ciphertext import ShortintCiphertext
+
+        s = ShortintCiphertext(
+            ct=blocks, degree=degree_in, noise_level=noise_in,
+            message_modulus=self.params.message_modulus,
+            carry_modulus=self.params.carry_modulus,
+        )
+        return self.key.apply_lookup_table(s, lut).ct
+
+    def _resolve_carries(self, s_blocks, max_block_value: int, noise_in: int):
+        """Returns (carry_bits [..., nb, dim], carry_out_state_blocks) for a
+        block array whose values are <= max_block_value <= 2*mm-1 (binary
+        carries). carry_bits[i] is the carry INTO block i (0 for block 0)."""
+        mm = self.params.message_modulus
+        assert max_block_value <= 2 * mm - 1
+        nb = s_blocks.shape[-2]
+        state_lut = self._lut(
+            lambda x: 2 if x >= mm else (1 if x == mm - 1 else 0), degree=2
+        )
+        state = self._pbs_blocks(s_blocks, max_block_value, noise_in, state_lut)
+        combine_lut = self._lut(
+            lambda p: (p // 4) if (p // 4) != 1 else (p % 4), degree=2
+        )
+        import jax.numpy as jnp
+
+        d = 1
+        while d < nb:
+            shifted = self._shift_blocks_right(state, d)
+            packed = state * jnp.uint64(4) + shifted
+            state = self._pbs_blocks(packed, 10, 5, combine_lut)
+            d *= 2
+        # carry into block i = (prefix_state[i-1] == GENERATE)
+        carry_state_out = state[..., nb - 1, :]
+        prev = self._shift_blocks_right(state, 1)
+        carry_lut = self._lut(lambda x: 1 if x == 2 else 0, degree=1)
+        carry_bits = self._pbs_blocks(prev, 2, 1, carry_lut)
+        return carry_bits, carry_state_out
+
+    def _clean(self, ct: RadixCiphertext) -> RadixCiphertext:
+        return ct if self._max_clean(ct) else self.full_propagate(ct)
+
+    def add_parallelized(
+        self, a: RadixCiphertext, b: RadixCiphertext, compute_overflow: bool = False
+    ):
+        """Carry-clean add in 3 + ceil(log2(nb)) batched PBS rounds."""
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        a, b = self._clean(a), self._clean(b)
+        nb = a.num_blocks
+        s = a.ct + b.ct
+        noise_s = int(np.max(a.noise_levels + b.noise_levels))
+        carry_bits, carry_out_state = self._resolve_carries(s, 2 * mm - 2, noise_s)
+        total = s + carry_bits
+        msg_lut = self._lut(lambda x: x % mm, degree=mm - 1)
+        out = self._pbs_blocks(total, 2 * mm - 1, noise_s + 1, msg_lut)
+        res = a.with_ct(
+            out,
+            degrees=np.full(nb, mm - 1, dtype=np.int64),
+            noise_levels=np.full(nb, NOMINAL_NOISE, dtype=np.int64),
+        )
+        if not compute_overflow:
+            return res
+        from ..shortint.ciphertext import ShortintCiphertext
+
+        ov_lut = self._lut(lambda x: 1 if x == 2 else 0, degree=1)
+        ov = self._pbs_blocks(carry_out_state[..., None, :], 2, 1, ov_lut)
+        return res, BooleanBlock(ct=ov[..., 0, :])
+
+    def bitnot(self, a: RadixCiphertext) -> RadixCiphertext:
+        """NOT x = (mm-1) - x per block — purely linear, zero PBS."""
+        import jax.numpy as jnp
+
+        a = self._clean(a)
+        mm = self.params.message_modulus
+        delta = self.key.encoding.delta()
+        ct = jnp.uint64(0) - a.ct
+        ct = ct.at[..., -1].add(jnp.uint64(((mm - 1) * delta) % (1 << 64)))
+        return a.with_ct(ct, degrees=np.full(a.num_blocks, mm - 1, dtype=np.int64))
+
+    def sub_parallelized(
+        self, a: RadixCiphertext, b: RadixCiphertext, compute_overflow: bool = False
+    ):
+        """a - b = a + ~b + 1 (carry injection on block 0); borrow = !carry.
+
+        Reference: radix_parallel/sub.rs (advanced_sub_assign_with_borrow).
+        """
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        a, b = self._clean(a), self._clean(b)
+        nb = a.num_blocks
+        nb_ct = self.bitnot(b)
+        delta = self.key.encoding.delta()
+        s = a.ct + nb_ct.ct
+        s = s.at[..., 0, -1].add(jnp.uint64(delta))  # the +1 carry-in
+        noise_s = int(np.max(a.noise_levels + b.noise_levels))
+        carry_bits, carry_out_state = self._resolve_carries(s, 2 * mm - 1, noise_s)
+        total = s + carry_bits
+        msg_lut = self._lut(lambda x: x % mm, degree=mm - 1)
+        out = self._pbs_blocks(total, 2 * mm, noise_s + 1, msg_lut)
+        res = a.with_ct(
+            out,
+            degrees=np.full(nb, mm - 1, dtype=np.int64),
+            noise_levels=np.full(nb, NOMINAL_NOISE, dtype=np.int64),
+        )
+        if not compute_overflow:
+            return res
+        # borrow (unsigned underflow) = NOT carry_out = state != GENERATE
+        bw_lut = self._lut(lambda x: 0 if x == 2 else 1, degree=1)
+        bw = self._pbs_blocks(carry_out_state[..., None, :], 2, 1, bw_lut)
+        return res, BooleanBlock(ct=bw[..., 0, :])
+
+    # ======================================================================
+    # comparisons — reference radix_parallel/comparison.rs
+    # ======================================================================
+
+    def _block_compare_signs(self, a: RadixCiphertext, b: RadixCiphertext):
+        """Per-block sign in {0: eq, 1: lt, 2: gt} then MSB-first tree
+        reduction: combine(hi, lo) = hi if hi != 0 else lo."""
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        a, b = self._clean(a), self._clean(b)
+        packed = a.ct * jnp.uint64(mm) + b.ct
+        noise = int(np.max(a.noise_levels * mm + b.noise_levels))
+        sign_lut = self._lut(
+            lambda x: 0 if (x // mm) % mm == x % mm else (1 if (x // mm) % mm < x % mm else 2),
+            degree=2,
+        )
+        signs = self._pbs_blocks(packed, mm * mm - 1, noise, sign_lut)
+        return self._reduce_signs(signs)
+
+    def _reduce_signs(self, signs):
+        """Tree-reduce per-block signs (MSB wins unless eq)."""
+        import jax.numpy as jnp
+
+        comb_lut = self._lut(
+            lambda p: (p // 4) if (p // 4) != 0 else (p % 4), degree=2
+        )
+        while signs.shape[-2] > 1:
+            nbb = signs.shape[-2]
+            half = nbb // 2
+            lo = signs[..., 0 : 2 * half : 2, :]
+            hi = signs[..., 1 : 2 * half : 2, :]
+            packed = hi * jnp.uint64(4) + lo
+            merged = self._pbs_blocks(packed, 10, 5, comb_lut)
+            if nbb % 2:
+                merged = jnp.concatenate(
+                    [merged, signs[..., nbb - 1 :, :]], axis=-2
+                )
+            signs = merged
+        return signs[..., 0, :]  # [..., dim], value in {0,1,2}
+
+    def _sign_to_bool(self, sign, f) -> BooleanBlock:
+        lut = self._lut(lambda x: 1 if f(x) else 0, degree=1)
+        out = self._pbs_blocks(sign[..., None, :], 2, 1, lut)
+        return BooleanBlock(ct=out[..., 0, :])
+
+    def lt(self, a, b) -> BooleanBlock:
+        return self._sign_to_bool(self._block_compare_signs(a, b), lambda s: s == 1)
+
+    def le(self, a, b) -> BooleanBlock:
+        return self._sign_to_bool(self._block_compare_signs(a, b), lambda s: s != 2)
+
+    def gt(self, a, b) -> BooleanBlock:
+        return self._sign_to_bool(self._block_compare_signs(a, b), lambda s: s == 2)
+
+    def ge(self, a, b) -> BooleanBlock:
+        return self._sign_to_bool(self._block_compare_signs(a, b), lambda s: s != 1)
+
+    def min(self, a, b) -> RadixCiphertext:
+        a, b = self._clean(a), self._clean(b)
+        return self.if_then_else(self.lt(a, b), a, b)
+
+    def max(self, a, b) -> RadixCiphertext:
+        a, b = self._clean(a), self._clean(b)
+        return self.if_then_else(self.gt(a, b), a, b)
+
+    # ======================================================================
+    # cmux / if_then_else — reference radix_parallel/cmux.rs
+    # ======================================================================
+
+    def if_then_else(
+        self, cond: BooleanBlock, t: RadixCiphertext, e: RadixCiphertext
+    ) -> RadixCiphertext:
+        """out_i = cond ? t_i : e_i via two zero_if_not LUTs + linear add."""
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        t, e = self._clean(t), self._clean(e)
+        nb = t.num_blocks
+        c = jnp.broadcast_to(cond.ct[..., None, :], t.ct.shape)
+        pt = t.ct * jnp.uint64(2) + c
+        pe = e.ct * jnp.uint64(2) + c
+        keep_lut = self._lut(
+            lambda x: (x // 2) if x % 2 == 1 else 0, degree=mm - 1
+        )
+        drop_lut = self._lut(
+            lambda x: (x // 2) if x % 2 == 0 else 0, degree=mm - 1
+        )
+        noise = int(np.max(t.noise_levels)) * 2 + 1
+        t_sel = self._pbs_blocks(pt, 2 * mm - 1, noise, keep_lut)
+        e_sel = self._pbs_blocks(pe, 2 * mm - 1, noise, drop_lut)
+        out = t_sel + e_sel  # exactly one side is nonzero per block
+        return t.with_ct(
+            out,
+            degrees=np.full(nb, mm - 1, dtype=np.int64),
+            noise_levels=np.full(nb, 2 * NOMINAL_NOISE, dtype=np.int64),
+        )
+
+    def cmux(self, cond, t, e):
+        return self.if_then_else(cond, t, e)
+
+    def boolean_bitand(self, a: BooleanBlock, b: BooleanBlock) -> BooleanBlock:
+        import jax.numpy as jnp
+
+        packed = a.ct * jnp.uint64(2) + b.ct
+        lut = self._lut(lambda x: 1 if x == 3 else 0, degree=1)
+        out = self._pbs_blocks(packed[..., None, :], 3, 3, lut)
+        return BooleanBlock(ct=out[..., 0, :])
+
+    def boolean_bitor(self, a: BooleanBlock, b: BooleanBlock) -> BooleanBlock:
+        import jax.numpy as jnp
+
+        packed = a.ct * jnp.uint64(2) + b.ct
+        lut = self._lut(lambda x: 1 if x > 0 else 0, degree=1)
+        out = self._pbs_blocks(packed[..., None, :], 3, 3, lut)
+        return BooleanBlock(ct=out[..., 0, :])
+
+    def boolean_bitnot(self, a: BooleanBlock) -> BooleanBlock:
+        import jax.numpy as jnp
+
+        delta = self.key.encoding.delta()
+        ct = (jnp.uint64(0) - a.ct).at[..., -1].add(jnp.uint64(delta))
+        lut = self._lut(lambda x: x % 2, degree=1)
+        out = self._pbs_blocks(ct[..., None, :], 1, 2, lut)
+        return BooleanBlock(ct=out[..., 0, :])
+
+    # ======================================================================
+    # shifts / rotates — clear amount (scalar_shift.rs) and encrypted
+    # amount (shift.rs: barrel shifter over cmux rounds)
+    # ======================================================================
+
+    def _bits_per_block(self) -> int:
+        return int(math.log2(self.params.message_modulus))
+
+    def scalar_right_shift(self, a: RadixCiphertext, shift: int) -> RadixCiphertext:
+        """Logical >> by a clear amount: one batched bivariate-packed PBS."""
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        bits = self._bits_per_block()
+        a = self._clean(a)
+        nb = a.num_blocks
+        shift %= nb * bits
+        q, r = divmod(shift, bits)
+        cur = self._shift_blocks_left(a.ct, q)  # value >>= q blocks
+        if r == 0:
+            degs = np.concatenate(
+                [a.degrees[q:], np.zeros(q, dtype=np.int64)]
+            )
+            return a.with_ct(cur, degrees=degs)
+        nxt = self._shift_blocks_left(cur, 1)
+        packed = nxt * jnp.uint64(mm) + cur
+        noise = int(np.max(a.noise_levels)) * (mm + 1)
+        lut = self._lut(
+            lambda x: ((x // mm) % mm * mm + x % mm) >> r & (mm - 1),
+            degree=mm - 1,
+        )
+        out = self._pbs_blocks(packed, mm * mm - 1, noise, lut)
+        return a.with_ct(
+            out,
+            degrees=np.full(nb, mm - 1, dtype=np.int64),
+            noise_levels=np.full(nb, NOMINAL_NOISE, dtype=np.int64),
+        )
+
+    def scalar_left_shift(self, a: RadixCiphertext, shift: int) -> RadixCiphertext:
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        bits = self._bits_per_block()
+        a = self._clean(a)
+        nb = a.num_blocks
+        shift %= nb * bits
+        q, r = divmod(shift, bits)
+        cur = self._shift_blocks_right(a.ct, q)
+        if r == 0:
+            degs = np.concatenate([np.zeros(q, dtype=np.int64), a.degrees[: nb - q]])
+            return a.with_ct(cur, degrees=degs)
+        prev = self._shift_blocks_right(cur, 1)
+        packed = cur * jnp.uint64(mm) + prev
+        noise = int(np.max(a.noise_levels)) * (mm + 1)
+        lut = self._lut(
+            lambda x: (((x // mm) % mm * mm + x % mm) << r >> bits) & (mm - 1),
+            degree=mm - 1,
+        )
+        out = self._pbs_blocks(packed, mm * mm - 1, noise, lut)
+        return a.with_ct(
+            out,
+            degrees=np.full(nb, mm - 1, dtype=np.int64),
+            noise_levels=np.full(nb, NOMINAL_NOISE, dtype=np.int64),
+        )
+
+    def scalar_rotate_right(self, a: RadixCiphertext, rot: int) -> RadixCiphertext:
+        import jax.numpy as jnp
+
+        bits = self._bits_per_block()
+        a = self._clean(a)
+        nb = a.num_blocks
+        total = nb * bits
+        rot %= total
+        if rot == 0:
+            return a
+        lo = self.scalar_right_shift(a, rot)
+        hi = self.scalar_left_shift(a, total - rot)
+        out = self.bitor(lo, hi)
+        return out
+
+    def scalar_rotate_left(self, a: RadixCiphertext, rot: int) -> RadixCiphertext:
+        bits = self._bits_per_block()
+        total = a.num_blocks * bits
+        return self.scalar_rotate_right(a, (total - rot % total) % total)
+
+    def right_shift(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
+        """>> by an ENCRYPTED amount: barrel shifter — one cmux round per bit
+        of the amount (reference shift.rs)."""
+        return self._barrel_shift(a, amount, self.scalar_right_shift)
+
+    def left_shift(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
+        return self._barrel_shift(a, amount, self.scalar_left_shift)
+
+    def _barrel_shift(self, a, amount, scalar_shift_fn):
+        mm = self.params.message_modulus
+        bits = self._bits_per_block()
+        a = self._clean(a)
+        amount = self._clean(amount)
+        total_bits = a.num_blocks * bits
+        n_amount_bits = max(1, (total_bits - 1).bit_length())
+        cur = a
+        for k in range(n_amount_bits):
+            blk_idx, bit_idx = divmod(k, bits)
+            if blk_idx >= amount.num_blocks:
+                break
+            bit_lut = self._lut(
+                lambda x, b=bit_idx: (x >> b) & 1, degree=1
+            )
+            bit = self._pbs_blocks(
+                amount.ct[..., blk_idx : blk_idx + 1, :],
+                int(amount.degrees[blk_idx]),
+                int(amount.noise_levels[blk_idx]),
+                bit_lut,
+            )
+            cond = BooleanBlock(ct=bit[..., 0, :])
+            shifted = scalar_shift_fn(cur, 1 << k)
+            cur = self.if_then_else(cond, shifted, cur)
+        return cur
+
+    # ======================================================================
+    # scalar ops — scalar_{sub,mul,comparison,bitwise}.rs
+    # ======================================================================
+
+    def _scalar_blocks(self, scalar: int, nb: int) -> list[int]:
+        mm = self.params.message_modulus
+        out = []
+        s = int(scalar)
+        for _ in range(nb):
+            out.append(s % mm)
+            s //= mm
+        return out
+
+    def scalar_sub(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
+        bits = self._bits_per_block()
+        total = a.num_blocks * bits
+        return self.scalar_add(a, ((1 << total) - scalar) % (1 << total))
+
+    def scalar_mul(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
+        """Shifted-add over the base-mm digits of the scalar
+        (scalar_mul.rs blockshift-and-add)."""
+        mm = self.params.message_modulus
+        a = self._clean(a)
+        nb = a.num_blocks
+        if scalar == 0:
+            z = self._trivial_zero_blocks(a, nb)
+            return a.with_ct(
+                z, degrees=np.zeros(nb, dtype=np.int64),
+                noise_levels=np.zeros(nb, dtype=np.int64),
+            )
+        terms = []
+        for j, digit in enumerate(self._scalar_blocks(scalar, nb)):
+            if digit == 0:
+                continue
+            low_lut = self._lut(lambda x, d=digit: (x % mm) * d % mm, degree=mm - 1)
+            high_lut = self._lut(lambda x, d=digit: (x % mm) * d // mm, degree=mm - 1)
+            noise = int(np.max(a.noise_levels))
+            low = self._pbs_blocks(a.ct, mm - 1, noise, low_lut)
+            high = self._pbs_blocks(a.ct, mm - 1, noise, high_lut)
+            lo_ct = a.with_ct(
+                self._shift_blocks_right(low, j),
+                degrees=np.array([0] * j + [mm - 1] * (nb - j), dtype=np.int64),
+                noise_levels=np.full(nb, NOMINAL_NOISE, dtype=np.int64),
+            )
+            terms.append(lo_ct)
+            if j + 1 < nb:
+                hi_ct = a.with_ct(
+                    self._shift_blocks_right(high, j + 1),
+                    degrees=np.array(
+                        [0] * (j + 1) + [mm - 1] * (nb - j - 1), dtype=np.int64
+                    ),
+                    noise_levels=np.full(nb, NOMINAL_NOISE, dtype=np.int64),
+                )
+                terms.append(hi_ct)
+        return self.sum_ciphertexts(terms)
+
+    def scalar_eq(self, a: RadixCiphertext, scalar: int) -> BooleanBlock:
+        return self._scalar_compare(a, scalar, lambda s: s == 0)
+
+    def scalar_ne(self, a: RadixCiphertext, scalar: int) -> BooleanBlock:
+        return self._scalar_compare(a, scalar, lambda s: s != 0)
+
+    def scalar_lt(self, a, scalar) -> BooleanBlock:
+        return self._scalar_compare(a, scalar, lambda s: s == 1)
+
+    def scalar_le(self, a, scalar) -> BooleanBlock:
+        return self._scalar_compare(a, scalar, lambda s: s != 2)
+
+    def scalar_gt(self, a, scalar) -> BooleanBlock:
+        return self._scalar_compare(a, scalar, lambda s: s == 2)
+
+    def scalar_ge(self, a, scalar) -> BooleanBlock:
+        return self._scalar_compare(a, scalar, lambda s: s != 1)
+
+    def _scalar_compare(self, a: RadixCiphertext, scalar: int, f) -> BooleanBlock:
+        """Per-block sign vs the scalar's digits (a different LUT per block,
+        ONE batched PBS via stacked accumulators), then sign reduction."""
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        a = self._clean(a)
+        nb = a.num_blocks
+        digits = self._scalar_blocks(scalar, nb)
+        if int(scalar) >= mm ** nb:
+            # scalar exceeds the type: lt always true
+            sign = jnp.zeros_like(a.ct[..., 0, :])  # trivial eq, fixed below
+            trivial = 1
+            lut = self._lut(lambda x, t=trivial: 1 if f(t) else 0, degree=1)
+            out = self._pbs_blocks(a.ct[..., :1, :] * jnp.uint64(0), 0, 0, lut)
+            return BooleanBlock(ct=out[..., 0, :])
+        accs = []
+        for b in range(nb):
+            d = digits[b]
+            lut = self.key.generate_lookup_table(
+                lambda x, d=d: 0 if x == d else (1 if x < d else 2)
+            )
+            accs.append(lut.acc)
+        stacked = jnp.stack(accs, axis=0)  # [nb, R, N]
+        lut = LookupTable(acc=stacked, degree=2)
+        noise = int(np.max(a.noise_levels))
+        signs = self._pbs_blocks(a.ct, mm - 1, noise, lut)
+        sign = self._reduce_signs(signs)
+        return self._sign_to_bool(sign, f)
+
+    def scalar_bitand(self, a, scalar):
+        return self._scalar_bitwise(a, scalar, lambda x, y: x & y)
+
+    def scalar_bitor(self, a, scalar):
+        return self._scalar_bitwise(a, scalar, lambda x, y: x | y)
+
+    def scalar_bitxor(self, a, scalar):
+        return self._scalar_bitwise(a, scalar, lambda x, y: x ^ y)
+
+    def _scalar_bitwise(self, a: RadixCiphertext, scalar: int, f):
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        a = self._clean(a)
+        nb = a.num_blocks
+        digits = self._scalar_blocks(scalar, nb)
+        accs = []
+        for b in range(nb):
+            d = digits[b]
+            accs.append(
+                self.key.generate_lookup_table(lambda x, d=d: f(x % mm, d)).acc
+            )
+        lut = LookupTable(acc=jnp.stack(accs, axis=0), degree=mm - 1)
+        noise = int(np.max(a.noise_levels))
+        out = self._pbs_blocks(a.ct, mm - 1, noise, lut)
+        return a.with_ct(
+            out,
+            degrees=np.full(nb, mm - 1, dtype=np.int64),
+            noise_levels=np.full(nb, NOMINAL_NOISE, dtype=np.int64),
+        )
+
+    # ======================================================================
+    # multi-operand sum — radix_parallel/sum.rs
+    # ======================================================================
+
+    def sum_ciphertexts(self, cts: list) -> RadixCiphertext:
+        """Sum many radix ciphertexts: linear adds while the carry space
+        allows, then parallel propagation; repeat."""
+        assert cts, "empty sum"
+        mm = self.params.message_modulus
+        cm = self.params.carry_modulus
+        budget = mm * cm - 1
+        cur = list(cts)
+        while len(cur) > 1:
+            acc = cur[0]
+            merged = [acc]
+            for nxt in cur[1:]:
+                cand_deg = merged[-1].degrees + nxt.degrees
+                cand_noise = merged[-1].noise_levels + nxt.noise_levels
+                if (
+                    np.all(cand_deg <= budget)
+                    and np.all(cand_noise <= self.params.max_noise_level)
+                ):
+                    merged[-1] = self.unchecked_add(merged[-1], nxt)
+                else:
+                    merged[-1] = self.full_propagate(merged[-1])
+                    merged.append(nxt)
+            cur = merged
+            if len(cur) == 1:
+                break
+        out = cur[0]
+        if not self._max_clean(out):
+            out = self.full_propagate(out)
+        return out
+
+    # ======================================================================
+    # division — radix_parallel/div_mod.rs (restoring long division)
+    # ======================================================================
+
+    def div_rem(self, num: RadixCiphertext, den: RadixCiphertext):
+        """Restoring bit-serial long division. total_bits iterations of
+        [shift, compare, conditional subtract] (reference div_mod.rs)."""
+        mm = self.params.message_modulus
+        bits = self._bits_per_block()
+        num, den = self._clean(num), self._clean(den)
+        nb = num.num_blocks
+        total_bits = nb * bits
+
+        rem = self._trivial_radix(0, nb, like=num)
+        quo_bits = []
+        for i in range(total_bits - 1, -1, -1):
+            # rem = (rem << 1) | bit_i(num)
+            rem = self.scalar_left_shift(rem, 1)
+            # bit 0 of block 0 was vacated by the shift: value is even, so
+            # adding the numerator bit keeps the block carry-clean
+            rem = rem.with_ct(
+                rem.ct,
+                degrees=np.concatenate(
+                    [[min(int(rem.degrees[0]), mm - 2)], rem.degrees[1:]]
+                ),
+            )
+            blk, bit = divmod(i, bits)
+            bit_lut = self._lut(lambda x, b=bit: (x >> b) & 1, degree=1)
+            num_bit = self._pbs_blocks(
+                num.ct[..., blk : blk + 1, :],
+                int(num.degrees[blk]), int(num.noise_levels[blk]), bit_lut,
+            )
+            import jax.numpy as jnp
+
+            rem_ct = rem.ct.at[..., 0, :].add(num_bit[..., 0, :])
+            rem = rem.with_ct(
+                rem_ct,
+                degrees=np.concatenate([[rem.degrees[0] + 1], rem.degrees[1:]]),
+                noise_levels=np.concatenate(
+                    [[rem.noise_levels[0] + 1], rem.noise_levels[1:]]
+                ),
+            )
+            ge = self.ge(rem, den)
+            sub = self.sub_parallelized(rem, den)
+            rem = self.if_then_else(ge, sub, rem)
+            quo_bits.append((i, ge))
+        quo = self._trivial_radix(0, nb, like=num)
+        terms = []
+        for i, bitblk in quo_bits:
+            blk, bit = divmod(i, bits)
+            import jax.numpy as jnp
+
+            ct = self._trivial_zero_blocks(num, nb)
+            ct = ct.at[..., blk, :].set(bitblk.ct * jnp.uint64(1 << bit))
+            degs = np.zeros(nb, dtype=np.int64)
+            degs[blk] = 1 << bit
+            noises = np.zeros(nb, dtype=np.int64)
+            noises[blk] = NOMINAL_NOISE * (1 << bit)
+            terms.append(
+                RadixCiphertext(
+                    ct=ct, degrees=degs, noise_levels=noises,
+                    message_modulus=mm, carry_modulus=num.carry_modulus,
+                )
+            )
+        quo = self.sum_ciphertexts(terms)
+        return quo, rem
+
+    def div(self, num, den):
+        return self.div_rem(num, den)[0]
+
+    def rem(self, num, den):
+        return self.div_rem(num, den)[1]
+
+    def _trivial_radix(self, value: int, nb: int, like: RadixCiphertext) -> RadixCiphertext:
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        delta = self.key.encoding.delta()
+        ct = self._trivial_zero_blocks(like, nb)
+        degs = np.zeros(nb, dtype=np.int64)
+        v = int(value)
+        for b in range(nb):
+            digit = v % mm
+            v //= mm
+            if digit:
+                ct = ct.at[..., b, -1].set(jnp.uint64((digit * delta) % (1 << 64)))
+                degs[b] = digit
+        return RadixCiphertext(
+            ct=ct, degrees=degs,
+            noise_levels=np.zeros(nb, dtype=np.int64),
+            message_modulus=mm, carry_modulus=like.carry_modulus,
+        )
+
+    # ======================================================================
+    # casts — trim/extend (integer/server_key/radix/mod.rs cast_to_*)
+    # ======================================================================
+
+    def cast_to_num_blocks(self, a: RadixCiphertext, nb_out: int) -> RadixCiphertext:
+        import jax.numpy as jnp
+
+        a = self._clean(a)
+        nb = a.num_blocks
+        if nb_out == nb:
+            return a
+        if nb_out < nb:
+            return a.with_ct(
+                a.ct[..., :nb_out, :],
+                degrees=a.degrees[:nb_out],
+                noise_levels=a.noise_levels[:nb_out],
+            )
+        pad = self._trivial_zero_blocks(a, nb_out - nb)
+        return a.with_ct(
+            jnp.concatenate([a.ct, pad], axis=-2),
+            degrees=np.concatenate([a.degrees, np.zeros(nb_out - nb, dtype=np.int64)]),
+            noise_levels=np.concatenate(
+                [a.noise_levels, np.zeros(nb_out - nb, dtype=np.int64)]
+            ),
+        )
 
     def decrypt_bool(self, client_key: ClientKey, blk: BooleanBlock) -> np.ndarray:
         from ..shortint.ciphertext import ShortintCiphertext

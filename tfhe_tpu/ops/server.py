@@ -355,10 +355,9 @@ def programmable_bootstrap_pallas(
         B *= d
     ms_mask = ms_mask.reshape(B, n_small)
     ms_body = ms_body.reshape(B)
-    if lut.ndim == 2:
-        lut_b = jnp.broadcast_to(lut, (B,) + lut.shape)
-    else:
-        lut_b = lut.reshape((B,) + lut.shape[-2:])
+    lut_b = jnp.broadcast_to(lut, batch + lut.shape[-2:]).reshape(
+        (B,) + lut.shape[-2:]
+    )
     pad = (-B) % batch_tile
     if pad:
         ms_mask = jnp.concatenate([ms_mask, ms_mask[:pad]], 0)
@@ -399,7 +398,6 @@ def programmable_bootstrap(
     else:
         ms_mask, ms_body = lwe_standard_modulus_switch(ct_in, log_modulus)
     batch = ct_in.shape[:-1]
-    if lut.ndim == 2:
-        lut = jnp.broadcast_to(lut, batch + lut.shape)
+    lut = jnp.broadcast_to(lut, batch + lut.shape[-2:])
     rotated = blind_rotate(lut, ms_mask, ms_body, bsk_hat, base_log, levels, plan)
     return sample_extract(rotated, extract_nth)
