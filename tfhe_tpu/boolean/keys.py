@@ -83,8 +83,15 @@ class ClientKey:
 class ServerKey:
     params: BooleanParameters
     ksk: Any
-    bsk_hat: Any
+    ksk_i8: Any
+    bsk_scan: Any
     num_primes: int
+
+    @property
+    def bsk_hat(self):
+        from ..ops.pbs_kernel import scan_to_legacy_layout
+
+        return scan_to_legacy_layout(self.bsk_scan, self.params.pbs_level)
 
     @classmethod
     def generate(cls, ck: ClientKey) -> "ServerKey":
@@ -105,8 +112,15 @@ class ServerKey:
         )
         num_primes = ntt_mod.min_primes_for_bound(bound)
         bsk_hat = algo.bootstrap_key_to_ntt(bsk, num_primes)
-        return cls(params=p, ksk=jnp.asarray(ksk.data), bsk_hat=bsk_hat.residues,
-                   num_primes=num_primes)
+        from ..ops.pbs_kernel import bsk_to_scan_layout
+
+        return cls(
+            params=p,
+            ksk=jnp.asarray(ksk.data),
+            ksk_i8=jnp.asarray(server_ops.ksk_to_i8_limbs(ksk.data, p.ks_base_log)),
+            bsk_scan=bsk_to_scan_layout(bsk_hat.residues),
+            num_primes=num_primes,
+        )
 
     # -- the bootstrap pipeline ------------------------------------------------
     def _fns(self):
@@ -114,44 +128,54 @@ class ServerKey:
         import jax.numpy as jnp
 
         p = self.params
-        sig = ("bool", p.name, self.ksk.shape, self.bsk_hat.shape)
+        from ..shortint.server_key import use_pallas_default
+
+        use_pallas = use_pallas_default()
+        sig = ("bool", p.name, self.ksk.shape, self.bsk_scan.shape, use_pallas)
         if sig in _jit_cache:
             return _jit_cache[sig]
         plan = ntt_mod.get_plan(p.polynomial_size, self.num_primes)
         N = p.polynomial_size
         R = p.glwe_size
 
-        def bootstrap(ct, bsk_hat):
+        def bootstrap(ct, bsk):
             # constant-TRUE accumulator (bootstrapping.rs:64)
             lut = jnp.zeros(ct.shape[:-1] + (R, N), dtype=jnp.uint64)
             lut = lut.at[..., R - 1, :].set(jnp.uint64(PLAINTEXT_TRUE))
+            if use_pallas:
+                return server_ops.programmable_bootstrap_pallas(
+                    ct, lut, bsk, p.pbs_base_log, p.pbs_level, plan,
+                    centered_ms=False,
+                )
+            from ..ops.pbs_kernel import scan_to_legacy_layout
+
             return server_ops.programmable_bootstrap(
-                ct, lut, bsk_hat, p.pbs_base_log, p.pbs_level, plan,
-                centered_ms=False,
+                ct, lut, scan_to_legacy_layout(bsk, p.pbs_level),
+                p.pbs_base_log, p.pbs_level, plan, centered_ms=False,
             )
 
         @jax.jit
-        def bootstrap_keyswitch(ct, ksk, bsk_hat):
-            big = bootstrap(ct, bsk_hat)
-            return server_ops.keyswitch(big, ksk, p.ks_base_log, p.ks_level)
+        def bootstrap_keyswitch(ct, ksk_i8, bsk):
+            big = bootstrap(ct, bsk)
+            return server_ops.keyswitch_mxu(big, ksk_i8, p.ks_base_log, p.ks_level)
 
         @jax.jit
-        def mux_fn(c, t, e, ksk, bsk_hat):
+        def mux_fn(c, t, e, ksk_i8, bsk):
             false = jnp.uint64(PLAINTEXT_FALSE)
             true = jnp.uint64(PLAINTEXT_TRUE)
             in1 = (c + t).at[..., -1].add(false)
             in2 = (jnp.uint64(0) - c + e).at[..., -1].add(false)
-            b1 = bootstrap(in1, bsk_hat)
-            b2 = bootstrap(in2, bsk_hat)
+            b1 = bootstrap(in1, bsk)
+            b2 = bootstrap(in2, bsk)
             s = (b1 + b2).at[..., -1].add(true)
-            return server_ops.keyswitch(s, ksk, p.ks_base_log, p.ks_level)
+            return server_ops.keyswitch_mxu(s, ksk_i8, p.ks_base_log, p.ks_level)
 
         _jit_cache[sig] = (bootstrap_keyswitch, mux_fn)
         return _jit_cache[sig]
 
     def _gate(self, combo) -> BooleanCiphertext:
         bks, _ = self._fns()
-        return BooleanCiphertext(ct=bks(combo, self.ksk, self.bsk_hat))
+        return BooleanCiphertext(ct=bks(combo, self.ksk_i8, self.bsk_scan))
 
     # -- gates -----------------------------------------------------------------
     def and_(self, l: BooleanCiphertext, r: BooleanCiphertext) -> BooleanCiphertext:
@@ -200,7 +224,7 @@ class ServerKey:
     ) -> BooleanCiphertext:
         _, mux_fn = self._fns()
         return BooleanCiphertext(
-            ct=mux_fn(cond.ct, then_ct.ct, else_ct.ct, self.ksk, self.bsk_hat)
+            ct=mux_fn(cond.ct, then_ct.ct, else_ct.ct, self.ksk_i8, self.bsk_scan)
         )
 
 

@@ -2,7 +2,8 @@
 
 Reference: ``tfhe/src/high_level_api/``: ``generate_keys`` (keys/mod.rs:40),
 ``set_server_key`` (global_state.rs:66), ``ConfigBuilder`` (config.rs:41),
-``FheBool``, ``FheUint8..FheUint256``, operator overloading.
+``FheBool``, ``FheUint2..FheUint2048``, ``FheInt2..FheInt2048`` (extended
+sizes included), operator overloading.
 
 Usage (mirrors the reference README):
 
@@ -16,19 +17,26 @@ Usage (mirrors the reference README):
     assert c.decrypt(client_key) == 1412
 """
 
-from .api import (
+from . import api as _api
+from .api import (  # noqa: F401
     Config,
     ConfigBuilder,
+    ClientKey,
+    ServerKey,
     FheBool,
-    FheUint2,
-    FheUint4,
-    FheUint8,
-    FheUint16,
-    FheUint32,
-    FheUint64,
-    FheUint128,
-    FheUint256,
+    fhe_int,
+    fhe_uint,
     generate_keys,
     set_server_key,
     unset_server_key,
 )
+
+# re-export the whole FheUintN / FheIntN zoo
+_zoo = [n for n in dir(_api) if n.startswith(("FheUint", "FheInt"))]
+globals().update({n: getattr(_api, n) for n in _zoo})
+
+__all__ = [
+    "Config", "ConfigBuilder", "ClientKey", "ServerKey", "FheBool",
+    "fhe_uint", "fhe_int", "generate_keys", "set_server_key",
+    "unset_server_key", *_zoo,
+]

@@ -1,12 +1,17 @@
-"""Typed FHE API: config, key generation, FheUintN / FheBool with operator
-overloading dispatched through a module-global server key (the functional
-analog of the reference's thread-local ``InternalServerKey``,
-``high_level_api/global_state.rs:66-120``)."""
+"""Typed FHE API: config, key generation, FheUintN / FheIntN / FheBool with
+operator overloading dispatched through a module-global server key (the
+functional analog of the reference's thread-local ``InternalServerKey``,
+``high_level_api/global_state.rs:66-120``).
+
+Type zoo mirrors ``high_level_api/integers/{unsigned,signed}/mod.rs``:
+FheUint2..FheUint2048 and FheInt2..FheInt2048 (extended sizes included).
+Shift/rotate amounts are taken modulo the bit width, like the reference.
+"""
 
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 import numpy as np
@@ -64,8 +69,13 @@ class ServerKey:
         self.inner = inner
 
 
-def generate_keys(config: Config):
+def generate_keys(config: Config, use_keycache: bool = False):
     """Reference ``high_level_api/keys/mod.rs:40``."""
+    if use_keycache:
+        from ..keycache import get_shortint_keys
+
+        sck, ssk = get_shortint_keys(config.parameters, config.seed or 0)
+        return ClientKey(integer.ClientKey(sck)), ServerKey(integer.ServerKey(ssk))
     ck = ClientKey.generate(config)
     sk = ServerKey(integer.ServerKey.generate(ck.inner))
     return ck, sk
@@ -91,7 +101,7 @@ def _sk() -> integer.ServerKey:
 
 
 # ---------------------------------------------------------------------------
-# typed ciphertexts
+# FheBool
 # ---------------------------------------------------------------------------
 
 
@@ -99,20 +109,53 @@ class FheBool:
     def __init__(self, block: BooleanBlock):
         self.block = block
 
+    @classmethod
+    def encrypt(cls, value, client_key: "ClientKey") -> "FheBool":
+        ct = client_key.inner.encrypt_radix(
+            np.asarray(value).astype(np.uint64), 1
+        )
+        return cls(BooleanBlock(ct=ct.ct[..., 0, :]))
+
     def decrypt(self, client_key: ClientKey) -> np.ndarray | bool:
         out = _sk().decrypt_bool(client_key.inner, self.block)
         return bool(out) if out.shape == () else out
 
     def __and__(self, other: "FheBool") -> "FheBool":
-        raise NotImplementedError("FheBool gate ops arrive with the boolean bridge")
+        return FheBool(_sk().boolean_bitand(self.block, other.block))
+
+    def __or__(self, other: "FheBool") -> "FheBool":
+        return FheBool(_sk().boolean_bitor(self.block, other.block))
+
+    def __xor__(self, other: "FheBool") -> "FheBool":
+        ne = _sk()
+        import jax.numpy as jnp
+
+        packed = self.block.ct * jnp.uint64(2) + other.block.ct
+        lut = ne._lut(lambda x: (x // 2) ^ (x % 2), degree=1)
+        out = ne._pbs_blocks(packed[..., None, :], 3, 3, lut)
+        return FheBool(BooleanBlock(ct=out[..., 0, :]))
+
+    def __invert__(self) -> "FheBool":
+        return FheBool(_sk().boolean_bitnot(self.block))
+
+    def select(self, t: "_FheIntegerBase", e: "_FheIntegerBase"):
+        """cond ? t : e (reference FheBool::if_then_else)."""
+        return t._wrap(_sk().if_then_else(self.block, t.ct, e.ct))
+
+    if_then_else = select
 
 
-class _FheUintBase:
-    """Shared implementation of the FheUintN zoo (reference
-    high_level_api/integers/unsigned/). N bits = 2 bits per block with the
-    default 2_2 parameters."""
+# ---------------------------------------------------------------------------
+# integer types
+# ---------------------------------------------------------------------------
+
+
+class _FheIntegerBase:
+    """Shared machinery of FheUintN / FheIntN (reference
+    high_level_api/integers/). N bits = N/log2(mm) radix blocks."""
 
     NUM_BITS: int = 0
+    SIGNED: bool = False
 
     def __init__(self, ct: RadixCiphertext):
         self.ct = ct
@@ -121,72 +164,244 @@ class _FheUintBase:
     @classmethod
     def num_blocks(cls, params: ClassicPBSParameters) -> int:
         bits_per_block = int(math.log2(params.message_modulus))
-        return cls.NUM_BITS // bits_per_block
+        return max(1, cls.NUM_BITS // bits_per_block)
 
     @classmethod
     def encrypt(cls, value, client_key: ClientKey):
         nb = cls.num_blocks(client_key.inner.params)
+        if cls.SIGNED:
+            return cls(client_key.inner.encrypt_signed_radix(value, nb))
         return cls(client_key.inner.encrypt_radix(value, nb))
+
+    try_encrypt = encrypt
 
     @classmethod
     def encrypt_trivial(cls, value):
-        raise NotImplementedError("trivial encryption lands with conformance")
+        sk = _sk()
+        nb = cls.num_blocks(sk.params)
+        bits = cls.NUM_BITS
+        v = int(value) % (1 << bits)
+        like = RadixCiphertext(
+            ct=None, degrees=None, noise_levels=None,
+            message_modulus=sk.params.message_modulus,
+            carry_modulus=sk.params.carry_modulus,
+        )
+        import jax.numpy as jnp
+
+        dim = sk.params.glwe_dimension * sk.params.polynomial_size + 1
+        like.ct = jnp.zeros((nb, dim), dtype=jnp.uint64)
+        like.degrees = np.zeros(nb, dtype=np.int64)
+        like.noise_levels = np.zeros(nb, dtype=np.int64)
+        return cls(sk._trivial_radix(v, nb, like))
 
     def decrypt(self, client_key: ClientKey):
+        if self.SIGNED:
+            out = client_key.inner.decrypt_signed_radix(self.ct)
+            return int(out) if np.asarray(out).shape == () else out
         out = client_key.inner.decrypt_radix(self.ct)
         return int(out) if np.asarray(out).shape == () else out
 
-    # -- ops --------------------------------------------------------------------
+    # -- helpers ----------------------------------------------------------------
     def _wrap(self, ct: RadixCiphertext):
         return type(self)(ct)
 
+    def _scalar_mod(self, other) -> int:
+        return int(other) % (1 << self.NUM_BITS)
+
+    # -- arithmetic ---------------------------------------------------------------
     def __add__(self, other):
-        if isinstance(other, _FheUintBase):
+        if isinstance(other, _FheIntegerBase):
             return self._wrap(_sk().add(self.ct, other.ct))
-        return self._wrap(_sk().scalar_add(self.ct, int(other)))
+        return self._wrap(_sk().scalar_add(self.ct, self._scalar_mod(other)))
 
     def __radd__(self, other):
         return self.__add__(other)
 
     def __sub__(self, other):
-        if isinstance(other, _FheUintBase):
+        if isinstance(other, _FheIntegerBase):
             return self._wrap(_sk().sub(self.ct, other.ct))
-        return self._wrap(_sk().scalar_add(self.ct, -int(other)))
+        return self._wrap(_sk().scalar_sub(self.ct, self._scalar_mod(other)))
+
+    def __rsub__(self, other):
+        return (-self).__add__(other)
 
     def __mul__(self, other):
-        if isinstance(other, _FheUintBase):
+        if isinstance(other, _FheIntegerBase):
             return self._wrap(_sk().mul(self.ct, other.ct))
-        raise NotImplementedError("scalar_mul lands with the scalar-op suite")
+        return self._wrap(_sk().scalar_mul(self.ct, self._scalar_mod(other)))
+
+    def __rmul__(self, other):
+        return self.__mul__(other)
 
     def __neg__(self):
         return self._wrap(_sk().neg(self.ct))
 
+    def __truediv__(self, other):
+        return self.div(other)
+
+    def __floordiv__(self, other):
+        return self.div(other)
+
+    def __mod__(self, other):
+        return self.rem(other)
+
+    def div(self, other):
+        if self.SIGNED:
+            return self._wrap(_sk().signed_div_rem(self.ct, other.ct)[0])
+        return self._wrap(_sk().div_rem(self.ct, other.ct)[0])
+
+    def rem(self, other):
+        if self.SIGNED:
+            return self._wrap(_sk().signed_div_rem(self.ct, other.ct)[1])
+        return self._wrap(_sk().div_rem(self.ct, other.ct)[1])
+
+    def div_rem(self, other):
+        fn = _sk().signed_div_rem if self.SIGNED else _sk().div_rem
+        q, r = fn(self.ct, other.ct)
+        return self._wrap(q), self._wrap(r)
+
+    def overflowing_add(self, other):
+        res, ov = _sk().add_parallelized(self.ct, other.ct, compute_overflow=True)
+        return self._wrap(res), FheBool(ov)
+
+    def overflowing_sub(self, other):
+        res, bw = _sk().sub_parallelized(self.ct, other.ct, compute_overflow=True)
+        return self._wrap(res), FheBool(bw)
+
+    # -- bitwise --------------------------------------------------------------
     def __and__(self, other):
-        return self._wrap(_sk().bitand(self.ct, other.ct))
+        if isinstance(other, _FheIntegerBase):
+            return self._wrap(_sk().bitand(self.ct, other.ct))
+        return self._wrap(_sk().scalar_bitand(self.ct, self._scalar_mod(other)))
 
     def __or__(self, other):
-        return self._wrap(_sk().bitor(self.ct, other.ct))
+        if isinstance(other, _FheIntegerBase):
+            return self._wrap(_sk().bitor(self.ct, other.ct))
+        return self._wrap(_sk().scalar_bitor(self.ct, self._scalar_mod(other)))
 
     def __xor__(self, other):
-        return self._wrap(_sk().bitxor(self.ct, other.ct))
+        if isinstance(other, _FheIntegerBase):
+            return self._wrap(_sk().bitxor(self.ct, other.ct))
+        return self._wrap(_sk().scalar_bitxor(self.ct, self._scalar_mod(other)))
+
+    def __invert__(self):
+        return self._wrap(_sk().bitnot(self.ct))
+
+    # -- shifts / rotates -------------------------------------------------------
+    def __lshift__(self, other):
+        if isinstance(other, _FheIntegerBase):
+            return self._wrap(_sk().left_shift(self.ct, other.ct))
+        return self._wrap(_sk().scalar_left_shift(self.ct, int(other)))
+
+    def __rshift__(self, other):
+        if isinstance(other, _FheIntegerBase):
+            return self._wrap(_sk().right_shift(self.ct, other.ct))
+        if self.SIGNED:
+            return self._wrap(_sk().arithmetic_right_shift(self.ct, int(other)))
+        return self._wrap(_sk().scalar_right_shift(self.ct, int(other)))
+
+    def rotate_left(self, amount: int):
+        return self._wrap(_sk().scalar_rotate_left(self.ct, int(amount)))
+
+    def rotate_right(self, amount: int):
+        return self._wrap(_sk().scalar_rotate_right(self.ct, int(amount)))
+
+    # -- comparisons ------------------------------------------------------------
+    def _cmp(self, other, enc_name, scalar_name) -> FheBool:
+        sk = _sk()
+        if isinstance(other, _FheIntegerBase):
+            return FheBool(getattr(sk, enc_name)(self.ct, other.ct))
+        return FheBool(getattr(sk, scalar_name)(self.ct, self._scalar_mod(other)))
 
     def eq(self, other) -> FheBool:
-        return FheBool(_sk().eq(self.ct, other.ct))
+        if isinstance(other, _FheIntegerBase):
+            return FheBool(_sk().eq(self.ct, other.ct))
+        return FheBool(_sk().scalar_eq(self.ct, self._scalar_mod(other)))
 
     def ne(self, other) -> FheBool:
-        return FheBool(_sk().ne(self.ct, other.ct))
+        if isinstance(other, _FheIntegerBase):
+            return FheBool(_sk().ne(self.ct, other.ct))
+        return FheBool(_sk().scalar_ne(self.ct, self._scalar_mod(other)))
+
+    def lt(self, other) -> FheBool:
+        if self.SIGNED:
+            return self._cmp(other, "signed_lt", "signed_scalar_lt")
+        return self._cmp(other, "lt", "scalar_lt")
+
+    def le(self, other) -> FheBool:
+        if self.SIGNED:
+            return self._cmp(other, "signed_le", "signed_scalar_le")
+        return self._cmp(other, "le", "scalar_le")
+
+    def gt(self, other) -> FheBool:
+        if self.SIGNED:
+            return self._cmp(other, "signed_gt", "signed_scalar_gt")
+        return self._cmp(other, "gt", "scalar_gt")
+
+    def ge(self, other) -> FheBool:
+        if self.SIGNED:
+            return self._cmp(other, "signed_ge", "signed_scalar_ge")
+        return self._cmp(other, "ge", "scalar_ge")
+
+    def min(self, other):
+        fn = _sk().signed_min if self.SIGNED else _sk().min
+        return self._wrap(fn(self.ct, other.ct))
+
+    def max(self, other):
+        fn = _sk().signed_max if self.SIGNED else _sk().max
+        return self._wrap(fn(self.ct, other.ct))
+
+    def abs(self):
+        if not self.SIGNED:
+            return self
+        return self._wrap(_sk().abs(self.ct))
+
+    # -- casts ------------------------------------------------------------------
+    def cast_into(self, target_cls):
+        """FheUintA -> FheUintB / FheIntB (reference CastInto impls)."""
+        sk = _sk()
+        nb_out = target_cls.num_blocks(sk.params)
+        if self.SIGNED and nb_out > self.ct.num_blocks:
+            ct = sk.signed_cast_to_num_blocks(self.ct, nb_out)
+        else:
+            ct = sk.cast_to_num_blocks(self.ct, nb_out)
+        return target_cls(ct)
 
 
-def _make_fheuint(bits: int):
-    cls = type(f"FheUint{bits}", (_FheUintBase,), {"NUM_BITS": bits})
-    return cls
+# explicit signed/unsigned markers for isinstance checks
+class _FheUintMarker:
+    SIGNED = False
 
 
-FheUint2 = _make_fheuint(2)
-FheUint4 = _make_fheuint(4)
-FheUint8 = _make_fheuint(8)
-FheUint16 = _make_fheuint(16)
-FheUint32 = _make_fheuint(32)
-FheUint64 = _make_fheuint(64)
-FheUint128 = _make_fheuint(128)
-FheUint256 = _make_fheuint(256)
+class _FheIntMarker:
+    SIGNED = True
+
+
+_SIZES = (2, 4, 6, 8, 10, 12, 14, 16, 24, 32, 40, 48, 56, 64, 72, 80, 88, 96,
+          104, 112, 120, 128, 136, 144, 152, 160, 168, 176, 184, 192, 200,
+          208, 216, 224, 232, 240, 248, 256, 512, 1024, 2048)
+
+_UNSIGNED_TYPES = {}
+_SIGNED_TYPES = {}
+
+for _bits in _SIZES:
+    _UNSIGNED_TYPES[_bits] = type(
+        f"FheUint{_bits}", (_FheIntegerBase, _FheUintMarker),
+        {"NUM_BITS": _bits, "SIGNED": False},
+    )
+    _SIGNED_TYPES[_bits] = type(
+        f"FheInt{_bits}", (_FheIntegerBase, _FheIntMarker),
+        {"NUM_BITS": _bits, "SIGNED": True},
+    )
+
+globals().update({f"FheUint{b}": c for b, c in _UNSIGNED_TYPES.items()})
+globals().update({f"FheInt{b}": c for b, c in _SIGNED_TYPES.items()})
+
+
+def fhe_uint(bits: int):
+    """Lookup a FheUint type by bit width."""
+    return _UNSIGNED_TYPES[bits]
+
+
+def fhe_int(bits: int):
+    return _SIGNED_TYPES[bits]

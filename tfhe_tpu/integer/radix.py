@@ -97,6 +97,22 @@ class ClientKey:
             carry_modulus=self.params.carry_modulus,
         )
 
+    def encrypt_signed_radix(self, values, num_blocks: int) -> RadixCiphertext:
+        """Two's-complement encryption (reference SignedRadixCiphertext,
+        integer/ciphertext/base.rs): value mod 2^(bits) as unsigned blocks."""
+        bits = int(math.log2(self.params.message_modulus)) * num_blocks
+        vals = np.atleast_1d(np.asarray(values, dtype=np.int64))
+        wrapped = (vals.astype(np.int64) % (1 << bits)).astype(np.uint64)
+        if np.isscalar(values) or np.asarray(values).ndim == 0:
+            wrapped = wrapped[0]
+        return self.encrypt_radix(wrapped, num_blocks)
+
+    def decrypt_signed_radix(self, ct: RadixCiphertext) -> np.ndarray:
+        bits = int(math.log2(ct.message_modulus)) * ct.num_blocks
+        u = self.decrypt_radix(ct).astype(np.int64)
+        sign = u >= (1 << (bits - 1))
+        return np.where(sign, u - (1 << bits), u)
+
     def decrypt_radix(self, ct: RadixCiphertext) -> np.ndarray:
         mm = ct.message_modulus
         nb = ct.num_blocks
@@ -164,6 +180,14 @@ class ServerKey:
     def _max_clean(self, ct: RadixCiphertext) -> bool:
         return bool(np.all(ct.degrees < ct.message_modulus))
 
+    @property
+    def _prop_budget(self) -> int:
+        """Max block degree that still absorbs a worst-case incoming carry
+        (cm - 1) without overflowing the mm*cm plaintext space."""
+        mm = self.params.message_modulus
+        cm = self.params.carry_modulus
+        return mm * cm - 1 - (cm - 1)
+
     # -- carry propagation -----------------------------------------------------
     def full_propagate(self, ct: RadixCiphertext) -> RadixCiphertext:
         """Sequential carry propagation: per block, absorb the incoming carry,
@@ -181,6 +205,11 @@ class ServerKey:
 
         from ..shortint.ciphertext import ShortintCiphertext
 
+        cm = self.params.carry_modulus
+        assert np.all(ct.degrees + (cm - 1) < mm * cm), (
+            "block degree too large to absorb the incoming carry during "
+            f"propagation (degrees {ct.degrees}, budget {self._prop_budget})"
+        )
         blocks = ct.ct
         dim = blocks.shape[-1]
         carry = None
@@ -189,7 +218,7 @@ class ServerKey:
             blk = blocks[..., b, :]
             if carry is not None:
                 blk = blk + carry
-            deg = int(ct.degrees[b]) + (0 if carry is None else mm - 1)
+            deg = int(ct.degrees[b]) + (0 if carry is None else cm - 1)
             s = ShortintCiphertext(
                 ct=blk, degree=deg, noise_level=int(ct.noise_levels[b]) + 1,
                 message_modulus=mm, carry_modulus=ct.carry_modulus,
@@ -351,9 +380,10 @@ class ServerKey:
                     ),
                 )
             result = term if result is None else self.unchecked_add(result, term)
-            # keep carry space from overflowing
-            if np.any(result.degrees + mm - 1 >= mm * a.carry_modulus) or np.any(
-                result.noise_levels + 2 > self.params.max_noise_level
+            # keep the degree under the propagation budget (room for the
+            # incoming carry) and the noise under max
+            if np.any(result.degrees + 2 * (mm - 1) > self._prop_budget) or np.any(
+                result.noise_levels + 2 >= self.params.max_noise_level
             ):
                 result = self.full_propagate(result)
         return self.full_propagate(result)
@@ -961,9 +991,7 @@ class ServerKey:
         """Sum many radix ciphertexts: linear adds while the carry space
         allows, then parallel propagation; repeat."""
         assert cts, "empty sum"
-        mm = self.params.message_modulus
-        cm = self.params.carry_modulus
-        budget = mm * cm - 1
+        budget = self._prop_budget
         cur = list(cts)
         while len(cur) > 1:
             acc = cur[0]
@@ -973,7 +1001,7 @@ class ServerKey:
                 cand_noise = merged[-1].noise_levels + nxt.noise_levels
                 if (
                     np.all(cand_deg <= budget)
-                    and np.all(cand_noise <= self.params.max_noise_level)
+                    and np.all(cand_noise < self.params.max_noise_level)
                 ):
                     merged[-1] = self.unchecked_add(merged[-1], nxt)
                 else:
@@ -1081,6 +1109,149 @@ class ServerKey:
         )
 
     # ======================================================================
+    # signed (two's complement) ops — reference tests_signed/, SignedRadix.
+    # Blocks are identical to unsigned; only comparisons, right shift, abs,
+    # division and sign extension differ.
+    # ======================================================================
+
+    def _flip_sign_bit(self, a: RadixCiphertext) -> RadixCiphertext:
+        """XOR the top bit of the top block (maps signed order to unsigned:
+        signed_lt(a,b) == unsigned_lt(a^MSB, b^MSB))."""
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        a = self._clean(a)
+        top = mm // 2
+        lut = self._lut(lambda x: (x % mm) ^ top, degree=mm - 1)
+        nb = a.num_blocks
+        flipped = self._pbs_blocks(
+            a.ct[..., nb - 1 :, :], int(a.degrees[nb - 1]),
+            int(a.noise_levels[nb - 1]), lut,
+        )
+        ct = jnp.concatenate([a.ct[..., : nb - 1, :], flipped], axis=-2)
+        return a.with_ct(ct)
+
+    def _signed_compare(self, a, b, f) -> BooleanBlock:
+        return self._sign_to_bool(
+            self._block_compare_signs(self._flip_sign_bit(a), self._flip_sign_bit(b)),
+            f,
+        )
+
+    def signed_lt(self, a, b):
+        return self._signed_compare(a, b, lambda s: s == 1)
+
+    def signed_le(self, a, b):
+        return self._signed_compare(a, b, lambda s: s != 2)
+
+    def signed_gt(self, a, b):
+        return self._signed_compare(a, b, lambda s: s == 2)
+
+    def signed_ge(self, a, b):
+        return self._signed_compare(a, b, lambda s: s != 1)
+
+    def signed_min(self, a, b):
+        a, b = self._clean(a), self._clean(b)
+        return self.if_then_else(self.signed_lt(a, b), a, b)
+
+    def signed_max(self, a, b):
+        a, b = self._clean(a), self._clean(b)
+        return self.if_then_else(self.signed_gt(a, b), a, b)
+
+    def sign_bit(self, a: RadixCiphertext) -> BooleanBlock:
+        mm = self.params.message_modulus
+        a = self._clean(a)
+        nb = a.num_blocks
+        lut = self._lut(lambda x: 1 if (x % mm) >= mm // 2 else 0, degree=1)
+        bit = self._pbs_blocks(
+            a.ct[..., nb - 1 :, :], int(a.degrees[nb - 1]),
+            int(a.noise_levels[nb - 1]), lut,
+        )
+        return BooleanBlock(ct=bit[..., 0, :])
+
+    def abs(self, a: RadixCiphertext) -> RadixCiphertext:
+        """|a| for signed radix (radix_parallel/abs.rs)."""
+        a = self._clean(a)
+        neg = self.sub_parallelized(self._trivial_radix(0, a.num_blocks, a), a)
+        return self.if_then_else(self.sign_bit(a), neg, a)
+
+    def signed_scalar_compare(self, a: RadixCiphertext, scalar: int, f) -> BooleanBlock:
+        bits = self._bits_per_block() * a.num_blocks
+        flipped_scalar = (int(scalar) % (1 << bits)) ^ (1 << (bits - 1))
+        return self._scalar_compare(self._flip_sign_bit(a), flipped_scalar, f)
+
+    def signed_scalar_lt(self, a, scalar):
+        return self.signed_scalar_compare(a, scalar, lambda s: s == 1)
+
+    def signed_scalar_le(self, a, scalar):
+        return self.signed_scalar_compare(a, scalar, lambda s: s != 2)
+
+    def signed_scalar_gt(self, a, scalar):
+        return self.signed_scalar_compare(a, scalar, lambda s: s == 2)
+
+    def signed_scalar_ge(self, a, scalar):
+        return self.signed_scalar_compare(a, scalar, lambda s: s != 1)
+
+    def arithmetic_right_shift(self, a: RadixCiphertext, shift: int) -> RadixCiphertext:
+        """Signed >> by a clear amount: logical shift then OR in the sign
+        fill mask (scalar_shift.rs signed path)."""
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        bits = self._bits_per_block()
+        a = self._clean(a)
+        nb = a.num_blocks
+        total = nb * bits
+        shift %= total
+        if shift == 0:
+            return a
+        logical = self.scalar_right_shift(a, shift)
+        # fill = sign ? ~((1 << (total-shift)) - 1) : 0, blockwise
+        fill_mask = (((1 << total) - 1) ^ ((1 << (total - shift)) - 1))
+        digits = self._scalar_blocks(fill_mask, nb)
+        sign = self.sign_bit(a)
+        c = jnp.broadcast_to(sign.ct[..., None, :], logical.ct.shape)
+        accs = []
+        for bidx in range(nb):
+            d = digits[bidx]
+            accs.append(
+                self.key.generate_lookup_table(
+                    lambda x, d=d: ((x // 2) % mm) | (d if x % 2 else 0)
+                ).acc
+            )
+        lut = LookupTable(acc=jnp.stack(accs, axis=0), degree=mm - 1)
+        packed = logical.ct * jnp.uint64(2) + c
+        noise = int(np.max(logical.noise_levels)) * 2 + 1
+        out = self._pbs_blocks(packed, 2 * mm - 1, noise, lut)
+        return a.with_ct(
+            out,
+            degrees=np.full(nb, mm - 1, dtype=np.int64),
+            noise_levels=np.full(nb, NOMINAL_NOISE, dtype=np.int64),
+        )
+
+    def signed_div_rem(self, num: RadixCiphertext, den: RadixCiphertext):
+        """Signed division with C/Rust truncation semantics
+        (div_mod.rs signed path): |num| / |den| with sign fixups."""
+        num, den = self._clean(num), self._clean(den)
+        sn, sd = self.sign_bit(num), self.sign_bit(den)
+        q_abs, r_abs = self.div_rem(self.abs(num), self.abs(den))
+        zero_q = self._trivial_radix(0, q_abs.num_blocks, q_abs)
+        zero_r = self._trivial_radix(0, r_abs.num_blocks, r_abs)
+        neg_q = self.sub_parallelized(zero_q, q_abs)
+        neg_r = self.sub_parallelized(zero_r, r_abs)
+        # q negative iff signs differ; r takes num's sign
+        import jax.numpy as jnp
+
+        sign_diff = BooleanBlock(
+            ct=self._pbs_blocks(
+                (sn.ct * jnp.uint64(2) + sd.ct)[..., None, :], 3, 3,
+                self._lut(lambda x: 1 if (x // 2) ^ (x % 2) else 0, degree=1),
+            )[..., 0, :]
+        )
+        q = self.if_then_else(sign_diff, neg_q, q_abs)
+        r = self.if_then_else(sn, neg_r, r_abs)
+        return q, r
+
+    # ======================================================================
     # casts — trim/extend (integer/server_key/radix/mod.rs cast_to_*)
     # ======================================================================
 
@@ -1106,6 +1277,29 @@ class ServerKey:
             ),
         )
 
+    def signed_cast_to_num_blocks(self, a: RadixCiphertext, nb_out: int) -> RadixCiphertext:
+        """Sign-extending cast (reference cast_to_signed)."""
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        a = self._clean(a)
+        nb = a.num_blocks
+        if nb_out <= nb:
+            return self.cast_to_num_blocks(a, nb_out)
+        sign = self.sign_bit(a)
+        fill_lut = self._lut(lambda x: (mm - 1) if x % 2 else 0, degree=mm - 1)
+        fill = self._pbs_blocks(sign.ct[..., None, :], 1, 1, fill_lut)
+        fills = jnp.concatenate([fill] * (nb_out - nb), axis=-2)
+        return a.with_ct(
+            jnp.concatenate([a.ct, fills], axis=-2),
+            degrees=np.concatenate(
+                [a.degrees, np.full(nb_out - nb, mm - 1, dtype=np.int64)]
+            ),
+            noise_levels=np.concatenate(
+                [a.noise_levels, np.full(nb_out - nb, NOMINAL_NOISE, dtype=np.int64)]
+            ),
+        )
+
     def decrypt_bool(self, client_key: ClientKey, blk: BooleanBlock) -> np.ndarray:
         from ..shortint.ciphertext import ShortintCiphertext
 
@@ -1114,4 +1308,5 @@ class ServerKey:
             message_modulus=self.params.message_modulus,
             carry_modulus=self.params.carry_modulus,
         )
-        return client_key.key.decrypt(s).astype(bool)
+        out = np.asarray(client_key.key.decrypt(s)).astype(bool)
+        return out.reshape(blk.ct.shape[:-1])  # match the block's batch shape

@@ -131,13 +131,23 @@ def keyswitch_mxu(
     batch = ct.shape[:-1]
 
     digits = decompose(a, base_log, levels)  # [..., n_in, l] int64, |d|<=B/2
-    d8 = digits.astype(jnp.int8).reshape(batch + (K,))
+    d8 = digits.astype(jnp.int8).reshape((-1, K))
+    # pad the batch to a multiple of 8: XLA CPU's int8 mat-VEC path
+    # miscompiles (wrong int32 sums at batch 1), and sublane alignment helps
+    # the MXU anyway
+    B = d8.shape[0]
+    pad = (-B) % 8
+    if pad:
+        d8 = jnp.concatenate([d8, jnp.zeros((pad, K), dtype=jnp.int8)], 0)
     sums = jnp.dot(d8, ksk_i8, preferred_element_type=jnp.int32)
+    if pad:
+        sums = sums[:B]
     sums = sums.reshape(batch + (n_out + 1, 8))
-    # recombine limbs: total = sum_k sums_k << 8k (mod 2^64)
-    total = jnp.zeros(batch + (n_out + 1,), dtype=jnp.uint64)
-    for k in range(8):
-        total = total + (sums[..., k].astype(jnp.int64).astype(jnp.uint64) << jnp.uint64(8 * k))
+    # recombine limbs: total = sum_k sums_k * 2^8k (mod 2^64). NB: written as
+    # multiply-by-weight rather than int64 shifts — XLA CPU miscompiles the
+    # strided-slice + sign-extend + shift pattern (wrong sums at batch 1)
+    w = jnp.asarray([1 << (8 * k) for k in range(8)], dtype=jnp.int64)
+    total = jnp.sum(sums.astype(jnp.int64) * w, axis=-1).astype(jnp.uint64)
     out = jnp.zeros_like(total)
     out = out.at[..., n_out].set(b)
     return out - total
