@@ -1,0 +1,71 @@
+"""Safe-serialization tests (reference safe_serialization.rs:151-300)."""
+
+import numpy as np
+import pytest
+
+from tfhe_tpu.keycache import get_shortint_keys
+from tfhe_tpu.integer.radix import ClientKey, ServerKey
+from tfhe_tpu.utils import serialization as ser
+from tfhe_tpu.utils.params import PARAM_TEST_TOY as P
+
+
+@pytest.fixture(scope="module")
+def keys():
+    sck, ssk = get_shortint_keys(P, seed=11)
+    return ClientKey(sck), ServerKey(ssk)
+
+
+def test_radix_roundtrip(keys):
+    ck, sk = keys
+    ct = ck.encrypt_radix(np.uint64(173), 4)
+    blob = ser.serialize_radix(ct)
+    back = ser.deserialize(blob, expected_type="RadixCiphertext")
+    assert int(ck.decrypt_radix(back)) == 173
+    assert np.array_equal(back.degrees, ct.degrees)
+
+
+def test_server_key_roundtrip(keys):
+    ck, sk = keys
+    blob = ser.serialize_shortint_server_key(sk.key)
+    sk2 = ser.deserialize(blob, expected_type="ShortintServerKey")
+    ct = ck.encrypt_radix(np.uint64(9), 2)
+    out = ServerKey(sk2).add(ct, ck.encrypt_radix(np.uint64(5), 2))
+    assert int(ck.decrypt_radix(out)) == 14
+
+
+def test_client_key_roundtrip(keys):
+    ck, _ = keys
+    blob = ser.serialize_shortint_client_key(ck.key)
+    ck2 = ser.deserialize(blob, expected_type="ShortintClientKey")
+    assert np.array_equal(ck2.lwe_sk.bits, ck.key.lwe_sk.bits)
+
+
+def test_size_limit_and_magic(keys):
+    ck, _ = keys
+    ct = ck.encrypt_radix(np.uint64(1), 2)
+    blob = ser.serialize_radix(ct)
+    with pytest.raises(ser.SerializationError, match="size limit"):
+        ser.deserialize(blob, size_limit=100)
+    with pytest.raises(ser.SerializationError, match="magic"):
+        ser.deserialize(b"garbage" + blob)
+    with pytest.raises(ser.SerializationError, match="expected type"):
+        ser.deserialize(blob, expected_type="ShortintServerKey")
+
+
+def test_conformance(keys):
+    _, sk = keys
+    blob = ser.serialize_shortint_server_key(sk.key)
+    ok = ser.deserialize(blob, conformance=ser.conformance_params(P.name))
+    assert ok is not None
+    with pytest.raises(ser.SerializationError, match="conformance"):
+        ser.deserialize(blob, conformance=ser.conformance_params("OTHER_PARAMS"))
+
+
+def test_upgrade_chain():
+    ser.register_type(
+        "_TestThing", 2,
+        lambda p: ("v2", p["meta"]["x"]),
+        upgrades={1: lambda p: {"meta": {"x": p["meta"]["old_x"] + 1}, "arrays": p["arrays"]}},
+    )
+    blob = ser.serialize("_TestThing", {"old_x": 41}, {}, version=1)
+    assert ser.deserialize(blob) == ("v2", 42)

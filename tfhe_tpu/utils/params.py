@@ -354,3 +354,6 @@ ALL_CLASSIC_PBS_PARAMETERS = {
         PARAM_TEST_TOY,
     )
 }
+
+# name -> parameters registry (used by serialization)
+PARAMS_BY_NAME = dict(ALL_CLASSIC_PBS_PARAMETERS)
