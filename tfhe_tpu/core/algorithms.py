@@ -298,3 +298,39 @@ def bootstrap_key_to_ntt(bsk: LweBootstrapKey, num_primes: int) -> NttLweBootstr
         levels=bsk.levels,
         num_primes=num_primes,
     )
+
+
+def gen_multi_bit_bootstrap_key(
+    in_sk: LweSecretKey,
+    glwe_sk: GlweSecretKey,
+    base_log: int,
+    levels: int,
+    grouping: int,
+    noise: DynamicDistribution,
+    gen: EncryptionRandomGenerator,
+) -> LweBootstrapKey:
+    """Multi-bit BSK: for each group of ``grouping`` small-key bits, GGSW
+    encryptions of every nonempty subset product prod_{j in S} s_j
+    (lwe_multi_bit_programmable_bootstrapping keygen; subset index v is the
+    bitmask over the group, v = 1..2^g-1).
+
+    Returns data u64[n/g, 2^g - 1, l, k+1, k+1, N].
+    """
+    n = in_sk.dim
+    assert n % grouping == 0, "lwe_dimension must be divisible by grouping"
+    ngroups = n // grouping
+    nsub = (1 << grouping) - 1
+    k, N = glwe_sk.bits.shape
+    cleartexts = np.zeros((ngroups, nsub), dtype=_U64)
+    for t in range(ngroups):
+        bits = in_sk.bits[t * grouping : (t + 1) * grouping]
+        for v in range(1, 1 << grouping):
+            prod = 1
+            for j in range(grouping):
+                if (v >> j) & 1:
+                    prod *= int(bits[j])
+            cleartexts[t, v - 1] = prod
+    msgs = _ggsw_messages(glwe_sk, cleartexts.reshape(-1), base_log, levels)
+    rows = glwe_encrypt(glwe_sk, msgs.reshape(-1, N), noise, gen)
+    data = rows.reshape(ngroups, nsub, levels, k + 1, k + 1, N)
+    return LweBootstrapKey(data, base_log, levels)

@@ -86,7 +86,7 @@ class LweBootstrapKey:
 
     @property
     def poly_size(self) -> int:
-        return self.data.shape[4]
+        return self.data.shape[-1]
 
 
 @dataclass

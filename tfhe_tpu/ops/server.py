@@ -411,3 +411,137 @@ def programmable_bootstrap(
     lut = jnp.broadcast_to(lut, batch + lut.shape[-2:])
     rotated = blind_rotate(lut, ms_mask, ms_body, bsk_hat, base_log, levels, plan)
     return sample_extract(rotated, extract_nth)
+
+
+# ---------------------------------------------------------------------------
+# multi-bit PBS — reference lwe_multi_bit_programmable_bootstrapping.rs
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _trivial_ggsw_one_hat(n: int, num_primes: int, base_log: int, levels: int, R: int):
+    """NTT-domain trivial GGSW of the cleartext 1: diagonal gadget entries
+    q/B^(levels-j) in coefficient 0 (GGSW = m*G with no encryption)."""
+    import numpy as np
+
+    plan = ntt_mod.get_plan(n, num_primes)
+    data = np.zeros((levels, R, R, n), dtype=np.uint64)
+    for j in range(levels):
+        shift = 64 - base_log * (levels - j)
+        for r in range(R):
+            data[j, r, r, 0] = np.uint64(1) << np.uint64(shift)
+    # computed in PURE numpy: this is lru-cached and may first be reached
+    # inside a jit trace — a jax computation here would cache a tracer
+    out = np.zeros((plan.num_primes,) + data.shape, dtype=np.uint64)
+    for pi, p in enumerate(plan.primes):
+        r = (data % np.uint64(p)).astype(object)
+        r = (r * plan.twist[pi].astype(object)) % p  # twist
+        x = r.astype(np.uint64)
+        nloc = n
+        for s in range(plan.log_n):
+            m = nloc >> s
+            h = m >> 1
+            xr = x.reshape(data.shape[:-1] + (nloc // m, 2, h))
+            a = xr[..., 0, :].astype(object)
+            b = xr[..., 1, :].astype(object)
+            u = (a + b) % p
+            v = ((a - b) * plan.tw_fwd[s][pi].astype(object)) % p
+            x = np.stack([u, v], axis=-2).reshape(data.shape).astype(np.uint64)
+        out[pi] = x
+    return out  # numpy [P, l, R, R, N]; converted to jnp at the use site
+
+
+def multi_bit_blind_rotate(
+    lut: jnp.ndarray,
+    msed_mask: jnp.ndarray,
+    msed_body: jnp.ndarray,
+    mbk_hat: jnp.ndarray,
+    base_log: int,
+    levels: int,
+    grouping: int,
+    plan: ntt_mod.NegacyclicNtt,
+) -> jnp.ndarray:
+    """Multi-bit blind rotation: n/g external products, each against a
+    combined GGSW assembled in the NTT domain:
+
+        GGSW(X^{sum_j a_j s_j}) = sum_{S subset of group}
+            NTT(prod_{j in S}(X^{a_j} - 1)) (.) GGSW(prod_{j in S} s_j)
+
+    with the empty subset contributing the trivial GGSW of 1
+    (std_prepare_multi_bit_ggsw, lwe_multi_bit_programmable_bootstrapping
+    .rs:115,366).
+
+    ``mbk_hat``: u64/u32 residues [P, n/g, 2^g-1, l, R, R, N] (no duals).
+    """
+    from .polynomial import monomial_mul
+
+    ngroups = mbk_hat.shape[1]
+    R = lut.shape[-2]
+    N = plan.n
+    batch = lut.shape[:-2]
+    acc = monomial_div(lut, msed_body[..., None])
+    triv = jnp.asarray(_trivial_ggsw_one_hat(N, plan.num_primes, base_log, levels, R))
+    triv = triv.reshape((plan.num_primes,) + (1,) * len(batch) + triv.shape[1:])
+    p_full = plan.p_like(len(batch) + 4)  # [P, batch-ones, l, R, C, N]
+
+    delta = jnp.zeros(batch + (N,), dtype=jnp.uint64).at[..., 0].set(jnp.uint64(1))
+
+    def group_step(t, acc):
+        nh = []
+        for j in range(grouping):
+            a = lax.dynamic_index_in_dim(msed_mask, t * grouping + j, axis=-1,
+                                         keepdims=False)
+            mono = monomial_mul(delta, a) - delta
+            nh.append(plan.fwd(mono.astype(jnp.int64)))
+        pP = plan.p_like(len(batch) + 1)
+        combined = jnp.broadcast_to(
+            triv, (plan.num_primes,) + batch + (levels, R, R, N)
+        ).astype(jnp.uint64)
+        for v in range(1, 1 << grouping):
+            coef = None
+            for j in range(grouping):
+                if (v >> j) & 1:
+                    coef = nh[j] if coef is None else (coef * nh[j]) % pP
+            gv = lax.dynamic_index_in_dim(mbk_hat, t, axis=1, keepdims=False)
+            gv = lax.dynamic_index_in_dim(gv, v - 1, axis=1, keepdims=False)
+            gv = gv.astype(jnp.uint64).reshape(
+                (plan.num_primes,) + (1,) * len(batch) + (levels, R, R, N)
+            )
+            term = (coef[..., None, None, None, :] * gv) % p_full
+            combined = combined + term
+        combined = combined % p_full
+
+        # external product acc <- EP(combined, acc)
+        digits = decompose(acc, base_log, levels)  # [..., R, N, l]
+        digits = jnp.moveaxis(digits, -1, -3)  # [..., l, R, N]
+        dhat = plan.fwd_digits(digits)  # [P, ..., l, R, N]
+        prod = (dhat[..., None, :].astype(jnp.uint64) * combined) % p_full
+        acc_hat = jnp.sum(prod, axis=(-4, -3)) % plan.p_like(len(batch) + 2)
+        residues = plan.inv(acc_hat)
+        return plan.reconstruct_u64(residues)
+
+    for t in range(ngroups):
+        acc = group_step(t, acc)
+    return acc
+
+
+def multi_bit_programmable_bootstrap(
+    ct_in: jnp.ndarray,
+    lut: jnp.ndarray,
+    mbk_hat: jnp.ndarray,
+    base_log: int,
+    levels: int,
+    grouping: int,
+    plan: ntt_mod.NegacyclicNtt,
+    extract_nth: int = 0,
+) -> jnp.ndarray:
+    """Multi-bit PBS: standard modulus switch -> grouped blind rotation ->
+    sample extract."""
+    N = plan.n
+    log_modulus = N.bit_length()
+    ms_mask, ms_body = lwe_standard_modulus_switch(ct_in, log_modulus)
+    batch = ct_in.shape[:-1]
+    lut = jnp.broadcast_to(lut, batch + lut.shape[-2:])
+    rotated = multi_bit_blind_rotate(
+        lut, ms_mask, ms_body, mbk_hat, base_log, levels, grouping, plan
+    )
+    return sample_extract(rotated, extract_nth)

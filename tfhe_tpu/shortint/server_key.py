@@ -39,21 +39,28 @@ def use_pallas_default() -> bool:
 
 
 def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
-                   poly_size, num_primes, centered_ms, use_pallas):
+                   poly_size, num_primes, centered_ms, use_pallas, grouping=0):
     """One compiled KS->PBS pipeline per parameter signature.
 
     The keyswitch is always the int8-MXU matmul path; the PBS dispatches to
     the fused Pallas blind-rotation kernel on TPU or the jnp path on CPU.
     """
     import jax
+    import jax.numpy as jnp
 
     sig = (key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
-           poly_size, num_primes, centered_ms, use_pallas)
+           poly_size, num_primes, centered_ms, use_pallas, grouping)
     if sig in _jitted_ks_pbs_cache:
         return _jitted_ks_pbs_cache[sig]
     plan = ntt_mod.get_plan(poly_size, num_primes)
 
-    if use_pallas:
+    if grouping:
+        def _pbs(ct_small, lut_acc, bsk):
+            return server_ops.multi_bit_programmable_bootstrap(
+                ct_small, lut_acc, bsk[0],
+                pbs_base_log, pbs_levels, grouping, plan,
+            )
+    elif use_pallas:
         def _pbs(ct_small, lut_acc, bsk):
             return server_ops.programmable_bootstrap_pallas(
                 ct_small, lut_acc, bsk, pbs_base_log, pbs_levels, plan,
@@ -111,14 +118,21 @@ class ServerKey:
 
         p = client_key.params
         gen = client_key._keygen_gen
-        bsk = algo.gen_bootstrap_key(
-            client_key.lwe_sk,
-            client_key.glwe_sk,
-            p.pbs_base_log,
-            p.pbs_level,
-            p.glwe_noise_distribution,
-            gen,
-        )
+        grouping = getattr(p, "grouping_factor", 0) or 0
+        if grouping:
+            bsk = algo.gen_multi_bit_bootstrap_key(
+                client_key.lwe_sk, client_key.glwe_sk, p.pbs_base_log,
+                p.pbs_level, grouping, p.glwe_noise_distribution, gen,
+            )
+        else:
+            bsk = algo.gen_bootstrap_key(
+                client_key.lwe_sk,
+                client_key.glwe_sk,
+                p.pbs_base_log,
+                p.pbs_level,
+                p.glwe_noise_distribution,
+                gen,
+            )
         ksk = algo.gen_keyswitch_key(
             client_key.big_lwe_sk,
             client_key.lwe_sk,
@@ -132,11 +146,16 @@ class ServerKey:
         max_degree = p.message_modulus * p.carry_modulus - 1
         from ..ops.pbs_kernel import bsk_to_scan_layout
 
+        if grouping:
+            # multi-bit: residues kept as [2, P, n/g, 2^g-1, l, R, R, N]
+            bsk_stored = bsk_hat.residues
+        else:
+            bsk_stored = bsk_to_scan_layout(bsk_hat.residues)
         return cls(
             params=p,
             ksk=jnp.asarray(ksk.data),
             ksk_i8=jnp.asarray(server_ops.ksk_to_i8_limbs(ksk.data, p.ks_base_log)),
-            bsk_scan=bsk_to_scan_layout(bsk_hat.residues),
+            bsk_scan=bsk_stored,
             num_primes=num_primes,
             max_degree=max_degree,
         )
@@ -148,6 +167,11 @@ class ServerKey:
             p.polynomial_size,
             num_sums=p.pbs_level * p.glwe_size,
         )
+        grouping = getattr(p, "grouping_factor", 0) or 0
+        if grouping:
+            # combined multi-bit GGSW coefficients grow by prod of
+            # (X^a - 1) expansions: sum over subsets 2^|S| = 3^g
+            bound += grouping * 1.585
         return ntt_mod.min_primes_for_bound(bound)
 
     # ------------------------------------------------------------------
@@ -164,6 +188,7 @@ class ServerKey:
             p.polynomial_size, self.num_primes,
             p.modulus_switch_type == ModulusSwitchType.CENTERED_MEAN_NOISE_REDUCTION,
             use_pallas_default(),
+            grouping=getattr(p, "grouping_factor", 0) or 0,
         )
 
     @property

@@ -174,6 +174,7 @@ class MultiBitPBSParameters:
     grouping_factor: int = 2
     ciphertext_modulus: CiphertextModulus = NATIVE_U64
     encryption_key_choice: EncryptionKeyChoice = EncryptionKeyChoice.BIG
+    modulus_switch_type: ModulusSwitchType = ModulusSwitchType.STANDARD
     deterministic_execution: bool = False
     name: str = ""
 
@@ -345,6 +346,44 @@ BOOLEAN_TEST_TOY = BooleanParameters(
     name="BOOLEAN_TEST_TOY",
 )
 
+# Reference v1.5 alias -> v1_1 values
+# (shortint/parameters/v1_1/multi_bit/gaussian/p_fail_2_minus_128/ks_pbs.rs)
+PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS = MultiBitPBSParameters(
+    lwe_dimension=904,
+    glwe_dimension=1,
+    polynomial_size=4096,
+    lwe_noise_distribution=_G(1.0621869847945622e-06),
+    glwe_noise_distribution=_G(2.168404344971009e-19),
+    pbs_base_log=21,
+    pbs_level=1,
+    ks_base_log=4,
+    ks_level=4,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-128.138,
+    grouping_factor=2,
+    name="PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS",
+)
+
+PARAM_TEST_TOY_MULTI_BIT = MultiBitPBSParameters(
+    lwe_dimension=16,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_noise_distribution=_G(2.0 ** -40),
+    glwe_noise_distribution=_G(2.0 ** -40),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-64.0,
+    grouping_factor=2,
+    name="PARAM_TEST_TOY_MULTI_BIT",
+)
+
 ALL_CLASSIC_PBS_PARAMETERS = {
     p.name: p
     for p in (
@@ -357,3 +396,10 @@ ALL_CLASSIC_PBS_PARAMETERS = {
 
 # name -> parameters registry (used by serialization)
 PARAMS_BY_NAME = dict(ALL_CLASSIC_PBS_PARAMETERS)
+PARAMS_BY_NAME.update({
+    p.name: p
+    for p in (
+        PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS,
+        PARAM_TEST_TOY_MULTI_BIT,
+    )
+})
