@@ -44,3 +44,49 @@ def shard_ciphertext_batch(ct, mesh: Mesh):
 
 def replicate_keys(mesh: Mesh, *keys):
     return tuple(jax.device_put(k, replicated(mesh)) for k in keys)
+
+
+def sharded_ks_pbs(server_key, mesh: Mesh):
+    """Returns fn(ct_batch, lut_acc) running the KS->PBS atomic pattern with
+    the batch sharded over the mesh and key material replicated.
+
+    This is the scaling story of BASELINE config 5: independent PBS sharded
+    over chips; XLA SPMD inserts only the initial scatter / final gather.
+    """
+    import jax
+
+    ks_pbs, _, _ = server_key._fns
+    ksk_i8, bsk = replicate_keys(mesh, server_key.ksk_i8, server_key.bsk_scan)
+
+    def run(ct_batch, lut_acc):
+        ct_dev = shard_ciphertext_batch(ct_batch, mesh)
+        out = ks_pbs(ct_dev, lut_acc, ksk_i8, bsk)
+        return out
+
+    return run
+
+
+def scaling_sweep(server_key, lut_acc, ct_batch, device_counts, iters: int = 3):
+    """PBS/s at several mesh sizes (scaling-efficiency harness).
+
+    Returns {n_devices: pbs_per_second}. On a single-chip host this is only
+    meaningful under --xla_force_host_platform_device_count.
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    results = {}
+    B = ct_batch.shape[0]
+    for nd in device_counts:
+        mesh = make_batch_mesh(nd)
+        run = sharded_ks_pbs(server_key, mesh)
+        out = run(ct_batch, lut_acc)
+        _ = jax.device_get(out)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _ = jax.device_get(run(ct_batch, lut_acc))
+        dt = (time.perf_counter() - t0) / iters
+        results[nd] = B / dt
+    return results
