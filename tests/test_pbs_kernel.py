@@ -59,7 +59,7 @@ def _fake_run_kernel(acc, a, ggsw):
         def __setitem__(self, idx, v):
             self.parts[idx] = v
 
-    kernel = pk._make_step_kernel(N, P, BL, L, R, tabs)
+    kernel = pk._make_step_kernel(N, P, BL, L, R, tabs, unroll=1)
     hi, lo = pk.split_u64(jnp.moveaxis(acc, 1, 0))
     consts = [
         tabs.tw_fwd, tabs.tw_fwd_sh, tabs.tw_inv, tabs.tw_inv_sh,
@@ -67,8 +67,8 @@ def _fake_run_kernel(acc, a, ggsw):
     ]
     out_hi, out_lo = FakeOut(), FakeOut()
     kernel(
-        FakeRef(jnp.asarray(a, jnp.uint32)[:, None]),
-        FakeRef(ggsw.reshape(2, P, L * R, R, N)),
+        FakeRef(jnp.asarray(a, jnp.uint32)[None, :, None]),
+        FakeRef(ggsw.reshape(1, 2, P, L * R, R, N)),
         *[FakeRef(c) for c in consts],
         FakeRef(hi), FakeRef(lo), out_hi, out_lo,
     )

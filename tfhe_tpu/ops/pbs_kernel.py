@@ -315,7 +315,8 @@ def _decompose_u32(hi, lo, base_log, levels):
 # the fused step kernel
 # ---------------------------------------------------------------------------
 
-def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables):
+def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
+                      unroll: int = 1):
     log_n = n.bit_length() - 1
     log_2n = log_n + 1
     plan = tabs.plan
@@ -329,33 +330,20 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables):
     prefix = plan.prefix_mod64  # u64 python ints
     full_prod = plan.full_prod_mod64
 
-    def kernel(a_ref, bsk_ref, tf_ref, tfs_ref, ti_ref, tis_ref, tw_ref,
-               tws_ref, utw_ref, utws_ref, up_ref, acc_hi_ref, acc_lo_ref,
-               out_hi_ref, out_lo_ref):
-        tabs_c = {
-            "tw_fwd": tf_ref[:], "tw_fwd_sh": tfs_ref[:],
-            "tw_inv": ti_ref[:], "tw_inv_sh": tis_ref[:],
-            "twist": tw_ref[:], "twist_sh": tws_ref[:],
-            "untwist": utw_ref[:], "untwist_sh": utws_ref[:],
-            "upper": up_ref[:],
-        }
-        a_bits = a_ref[:]  # [Bt, 1] u32
-        lane_idx = lax.broadcasted_iota(U32, (1, n), 1)
+    def one_step(hi, lo, a_bits, bsk, tabs_c, lane_idx):
+        """One blind-rotation step on in-register limb values.
 
-        # 1) rotate + subtract + decompose, per input poly r
-        digit_polys = []  # [levels * R] entries of [Bt, N] i32 (level-major)
+        ``hi``/``lo``: lists of R [Bt, N] u32; ``bsk``: [2, P, l*R, R, N]."""
+        digit_polys = []  # [levels * R] of [Bt, N] i32 (level-major)
         per_r_digits = []
         for r in range(R):
-            ahi = acc_hi_ref[r]
-            alo = acc_lo_ref[r]
-            rhi, rlo = _negacyclic_rot(ahi, alo, a_bits, lane_idx, log_2n)
-            dhi, dlo = _sub64(rhi, rlo, ahi, alo)
+            rhi, rlo = _negacyclic_rot(hi[r], lo[r], a_bits, lane_idx, log_2n)
+            dhi, dlo = _sub64(rhi, rlo, hi[r], lo[r])
             per_r_digits.append(_decompose_u32(dhi, dlo, base_log, levels))
-        for lev in range(levels):  # level-major to match GGSW layout
+        for lev in range(levels):
             for r in range(R):
                 digit_polys.append(per_r_digits[r][lev])
 
-        # 2) per prime: fwd NTT digits, MAC against GGSW, inverse NTT
         residues = []  # [P][R] of [Bt, N] u32, canonical < p
         for pi in range(P):
             p = U32(primes[pi])
@@ -369,14 +357,13 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables):
             for c in range(R):
                 acc_m = None
                 for j in range(levels * R):
-                    g = bsk_ref[0, pi, j, c][None]  # [1, N]
-                    gsh = bsk_ref[1, pi, j, c][None]
+                    g = bsk[0, pi, j, c][None]  # [1, N]
+                    gsh = bsk[1, pi, j, c][None]
                     term = _shoup(dhat[j], g, gsh, p)  # < 2p
                     acc_m = term if acc_m is None else _condsub(acc_m + term, p2)
                 res_p.append(_inv_ntt(acc_m, pi, tabs_c, p, p2, log_n))
             residues.append(res_p)
 
-        # 3) Garner CRT -> (hi, lo) mod 2^64, accumulate into acc
         for c in range(R):
             m = [residues[pi][c] for pi in range(P)]
             v = [m[0]]
@@ -410,19 +397,40 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables):
             sign = v[P - 1] > U32(primes[P - 1] // 2)
             ehi = jnp.where(sign, neg_hi, pos_hi)
             elo = jnp.where(sign, neg_lo, pos_lo)
-            ohi, olo = _add64(acc_hi_ref[c], acc_lo_ref[c], ehi, elo)
-            out_hi_ref[c] = ohi
-            out_lo_ref[c] = olo
+            hi[c], lo[c] = _add64(hi[c], lo[c], ehi, elo)
+        return hi, lo
+
+    def kernel(a_ref, bsk_ref, tf_ref, tfs_ref, ti_ref, tis_ref, tw_ref,
+               tws_ref, utw_ref, utws_ref, up_ref, acc_hi_ref, acc_lo_ref,
+               out_hi_ref, out_lo_ref):
+        tabs_c = {
+            "tw_fwd": tf_ref[:], "tw_fwd_sh": tfs_ref[:],
+            "tw_inv": ti_ref[:], "tw_inv_sh": tis_ref[:],
+            "twist": tw_ref[:], "twist_sh": tws_ref[:],
+            "untwist": utw_ref[:], "untwist_sh": utws_ref[:],
+            "upper": up_ref[:],
+        }
+        lane_idx = lax.broadcasted_iota(U32, (1, n), 1)
+        hi = [acc_hi_ref[r] for r in range(R)]
+        lo = [acc_lo_ref[r] for r in range(R)]
+        for u in range(unroll):
+            hi, lo = one_step(
+                hi, lo, a_ref[u], bsk_ref[u], tabs_c, lane_idx
+            )
+        for c in range(R):
+            out_hi_ref[c] = hi[c]
+            out_lo_ref[c] = lo[c]
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile):
-    """Returns fn(a_ms_u32[B,1], bsk_step[2,P,l*R,R,N], acc_hi, acc_lo) ->
-    (acc_hi, acc_lo), each acc u32[R, B, N]."""
+def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1):
+    """Returns fn(a_ms_u32[U,B,1], bsk_step[U,2,P,l*R,R,N], acc_hi, acc_lo)
+    -> (acc_hi, acc_lo), each acc u32[R, B, N]; performs ``unroll`` steps."""
     tabs = _get_tables(n, num_primes)
-    kernel = _make_step_kernel(n, num_primes, base_log, levels, R, tabs)
+    kernel = _make_step_kernel(n, num_primes, base_log, levels, R, tabs,
+                               unroll=unroll)
     P = num_primes
     log_n = n.bit_length() - 1
 
@@ -445,7 +453,9 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile):
         acc_spec = pl.BlockSpec(
             (R, Bt, n), (lambda i: (z, i, z)), memory_space=pltpu.VMEM
         )
-        a_spec = pl.BlockSpec((Bt, 1), (lambda i: (i, z)), memory_space=pltpu.VMEM)
+        a_spec = pl.BlockSpec(
+            (unroll, Bt, 1), (lambda i: (z, i, z)), memory_space=pltpu.VMEM
+        )
         interpret = jax.default_backend() == "cpu"  # tests without a TPU
         out_hi, out_lo = pl.pallas_call(
             kernel,
@@ -453,7 +463,7 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile):
             interpret=interpret,
             in_specs=[
                 a_spec,
-                full((2, P, levels * R, R, n)),
+                full((unroll, 2, P, levels * R, R, n)),
                 full((P, log_n, n)), full((P, log_n, n)),
                 full((P, log_n, n)), full((P, log_n, n)),
                 full((P, n)), full((P, n)), full((P, n)), full((P, n)),
@@ -466,6 +476,9 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile):
                 jax.ShapeDtypeStruct((R, B, n), jnp.uint32),
             ),
             input_output_aliases={11: 0, 12: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
         )(a_ms, bsk_step, *[jnp.asarray(c) for c in consts], acc_hi, acc_lo)
         return out_hi, out_lo
 
@@ -508,9 +521,11 @@ def blind_rotate_pallas(
     levels: int,
     plan: ntt_mod.NegacyclicNtt,
     batch_tile: int = 8,
+    unroll: int = 2,
 ) -> jnp.ndarray:
     """Drop-in replacement for :func:`tfhe_tpu.ops.server.blind_rotate`
-    (same contract) using the fused Pallas step kernel.
+    (same contract) using the fused Pallas step kernel, ``unroll`` steps per
+    kernel launch (fewer launches + fewer accumulator HBM round-trips).
 
     ``lut``: u64[B, R, N]; ``msed_mask``: u64[B, n] in [0, 2N);
     ``msed_body``: u64[B]; ``bsk_scan``: u32[n, 2, P, l*R, R, N].
@@ -527,8 +542,22 @@ def blind_rotate_pallas(
     acc = jnp.moveaxis(acc, 1, 0)  # [R, B, N]
     acc_hi, acc_lo = split_u64(acc)
 
-    step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile)
     a_scan = jnp.moveaxis(msed_mask.astype(U32), 1, 0)[..., None]  # [n, B, 1]
+    pad = (-nsteps) % unroll
+    if pad:
+        # zero-padded steps are exact no-ops: a=0 rotates by X^0 and a zero
+        # GGSW contributes nothing to the external product
+        a_scan = jnp.concatenate(
+            [a_scan, jnp.zeros((pad,) + a_scan.shape[1:], a_scan.dtype)], 0
+        )
+        bsk_scan = jnp.concatenate(
+            [bsk_scan, jnp.zeros((pad,) + bsk_scan.shape[1:], bsk_scan.dtype)], 0
+        )
+        nsteps += pad
+    a_scan = a_scan.reshape((nsteps // unroll, unroll) + a_scan.shape[1:])
+    bsk_scan = bsk_scan.reshape((nsteps // unroll, unroll) + bsk_scan.shape[1:])
+
+    step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile, unroll)
 
     def body(carry, xs):
         hi, lo = carry

@@ -51,3 +51,16 @@ class LookupTable:
 
     acc: Any  # jnp u64[k+1, N]
     degree: int
+
+
+@dataclass
+class ManyLookupTable:
+    """Several functions packed in one accumulator (reference
+    ManyLookupTableOwned): after one blind rotation, function i's output is
+    the sample extraction at coefficient ``i * stride``."""
+
+    acc: Any
+    degrees: list
+    stride: int
+    count: int
+    max_input_degree: int = 0

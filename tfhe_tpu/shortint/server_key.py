@@ -24,7 +24,7 @@ from ..ops import ntt as ntt_mod
 from ..ops import server as server_ops
 from ..utils.encoding import ShortintEncoding
 from ..utils.params import ClassicPBSParameters, EncryptionKeyChoice, ModulusSwitchType
-from .ciphertext import NOMINAL_NOISE, LookupTable, ShortintCiphertext
+from .ciphertext import NOMINAL_NOISE, LookupTable, ManyLookupTable, ShortintCiphertext
 from .client_key import ClientKey
 
 _jitted_ks_pbs_cache: dict = {}
@@ -226,6 +226,112 @@ class ServerKey:
         acc = np.zeros((p.glwe_size, N), dtype=np.uint64)
         acc[-1] = body
         return LookupTable(acc=jnp.asarray(acc), degree=max_value)
+
+    def generate_many_lookup_table(self, fns) -> "ManyLookupTable":
+        """Pack several functions into ONE accumulator as consecutive
+        sub-LUTs: after a single blind rotation, sample-extracting at
+        ``fn_idx * sub_lut_size`` yields one LWE per function
+        (engine/mod.rs:168 fill_many_lut_accumulator,
+        shortint/server_key/mod.rs:622-632). The input ciphertext degree must
+        be <= mod_sup/len(fns) - 1 so the rotation stays inside sub-LUT 0."""
+        import jax.numpy as jnp
+
+        p = self.params
+        N = p.polynomial_size
+        mod_sup = p.message_modulus * p.carry_modulus
+        box = N // mod_sup
+        k = len(fns)
+        assert k <= mod_sup // 2, f"at most {mod_sup // 2} functions"
+        max_degree = mod_sup // k - 1
+        sub_size = (max_degree + 1) * box
+        enc = self.encoding
+        body = np.zeros(N, dtype=np.uint64)
+        out_degrees = []
+        for i, f in enumerate(fns):
+            deg = 0
+            for v in range(max_degree + 1):
+                val = int(f(v))
+                deg = max(deg, val)
+                body[i * sub_size + v * box : i * sub_size + (v + 1) * box] = (
+                    enc.encode(val)
+                )
+            out_degrees.append(deg)
+        half = box // 2
+        with np.errstate(over="ignore"):
+            body[:half] = np.uint64(0) - body[:half]
+        body = np.roll(body, -half)
+        acc = np.zeros((p.glwe_size, N), dtype=np.uint64)
+        acc[-1] = body
+        return ManyLookupTable(
+            acc=jnp.asarray(acc),
+            degrees=out_degrees,
+            stride=sub_size,
+            count=k,
+            max_input_degree=max_degree,
+        )
+
+    def apply_many_lookup_table(
+        self, ct: ShortintCiphertext, many: "ManyLookupTable"
+    ) -> list:
+        """ONE KS + blind rotation, k sample extractions."""
+        import jax.numpy as jnp
+
+        from ..ops import server as server_ops
+        from ..ops.pbs_kernel import scan_to_legacy_layout
+
+        assert ct.under_key == "big"
+        assert ct.degree <= many.max_input_degree, (
+            f"input degree {ct.degree} exceeds the many-LUT limit "
+            f"{many.max_input_degree}"
+        )
+        p = self.params
+        plan = self._plan
+        _, _, ks = self._fns
+        small = ks(ct.ct, self.ksk_i8)
+        N = p.polynomial_size
+        log_modulus = N.bit_length()
+        centered = p.modulus_switch_type == ModulusSwitchType.CENTERED_MEAN_NOISE_REDUCTION
+        if centered:
+            msm, msb = server_ops.lwe_centered_binary_modulus_switch(small, log_modulus)
+        else:
+            msm, msb = server_ops.lwe_standard_modulus_switch(small, log_modulus)
+        batch = small.shape[:-1]
+        lut_b = jnp.broadcast_to(many.acc, batch + many.acc.shape)
+        if use_pallas_default() and not getattr(p, "grouping_factor", 0):
+            from ..ops import pbs_kernel as pk
+
+            flat_lut = lut_b.reshape((-1,) + many.acc.shape)
+            Bflat = flat_lut.shape[0]
+            pad = (-Bflat) % 8
+            mm_ = msm.reshape(-1, msm.shape[-1])
+            mb_ = msb.reshape(-1)
+            if pad:
+                flat_lut = jnp.concatenate([flat_lut, flat_lut[:pad]], 0)
+                mm_ = jnp.concatenate([mm_, mm_[:pad]], 0)
+                mb_ = jnp.concatenate([mb_, mb_[:pad]], 0)
+            rotated = pk.blind_rotate_pallas(
+                flat_lut, mm_, mb_, self.bsk_scan, p.pbs_base_log, p.pbs_level, plan
+            )
+            if pad:
+                rotated = rotated[:Bflat]
+            rotated = rotated.reshape(batch + many.acc.shape)
+        else:
+            rotated = server_ops.blind_rotate(
+                lut_b, msm, msb,
+                scan_to_legacy_layout(self.bsk_scan, p.pbs_level),
+                p.pbs_base_log, p.pbs_level, plan,
+            )
+        outs = []
+        for i in range(many.count):
+            lwe = server_ops.sample_extract(rotated, nth=i * many.stride)
+            outs.append(
+                ShortintCiphertext(
+                    ct=lwe, degree=many.degrees[i], noise_level=NOMINAL_NOISE,
+                    message_modulus=ct.message_modulus,
+                    carry_modulus=ct.carry_modulus, under_key="big",
+                )
+            )
+        return outs
 
     def generate_msg_lookup_table(self, f, modulus: Optional[int] = None) -> LookupTable:
         m = modulus or self.params.message_modulus
