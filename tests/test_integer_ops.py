@@ -163,3 +163,22 @@ def test_cast(keys):
     assert np.array_equal(_dec(ck, ext), a)
     tr = sk.cast_to_num_blocks(_enc(ck, a), 2)
     assert np.array_equal(_dec(ck, tr), a % 16)
+
+
+def test_count_and_parity(keys):
+    ck, sk = keys
+    a = np.array([0b10110101, 0b00000001, 0b11111111, 0], dtype=np.uint64)
+    ea = _enc(ck, a)
+    ones = _dec(ck, sk.count_ones(ea))
+    assert np.array_equal(ones, [bin(v).count("1") for v in a]), ones
+    zeros = _dec(ck, sk.count_zeros(ea))
+    assert np.array_equal(zeros, [8 - bin(v).count("1") for v in a]), zeros
+    assert np.array_equal(_dec_bool(ck, sk, sk.is_even(ea)), a % 2 == 0)
+    assert np.array_equal(_dec_bool(ck, sk, sk.is_odd(ea)), a % 2 == 1)
+
+
+def test_ilog2(keys):
+    ck, sk = keys
+    a = np.array([1, 2, 7, 128, 255], dtype=np.uint64)
+    got = _dec(ck, sk.ilog2(_enc(ck, a)))
+    assert np.array_equal(got, [int(v).bit_length() - 1 for v in a]), got

@@ -1109,6 +1109,85 @@ class ServerKey:
         )
 
     # ======================================================================
+    # bit counting / parity — radix_parallel/count_zeros_ones.rs
+    # ======================================================================
+
+    def count_ones(self, a: RadixCiphertext) -> RadixCiphertext:
+        """Popcount: per-block popcount LUT (ONE batched PBS) then radix sum."""
+        import jax.numpy as jnp
+
+        mm = self.params.message_modulus
+        a = self._clean(a)
+        nb = a.num_blocks
+        pop_lut = self._lut(lambda x: bin(x % mm).count("1"), degree=mm.bit_length() - 1)
+        counts = self._pbs_blocks(a.ct, mm - 1, int(np.max(a.noise_levels)), pop_lut)
+        # each block's count (<= bits_per_block) becomes its own radix value
+        bits = self._bits_per_block()
+        terms = []
+        for b in range(nb):
+            ct = self._trivial_zero_blocks(a, nb)
+            ct = ct.at[..., 0, :].set(counts[..., b, :])
+            degs = np.zeros(nb, dtype=np.int64)
+            degs[0] = bits
+            noises = np.zeros(nb, dtype=np.int64)
+            noises[0] = NOMINAL_NOISE
+            terms.append(
+                RadixCiphertext(
+                    ct=ct, degrees=degs, noise_levels=noises,
+                    message_modulus=mm, carry_modulus=a.carry_modulus,
+                )
+            )
+        return self.sum_ciphertexts(terms)
+
+    def count_zeros(self, a: RadixCiphertext) -> RadixCiphertext:
+        total = a.num_blocks * self._bits_per_block()
+        ones = self.count_ones(a)
+        return self.sub_parallelized(
+            self._trivial_radix(total, a.num_blocks, a), ones
+        )
+
+    def is_even(self, a: RadixCiphertext) -> BooleanBlock:
+        a = self._clean(a)
+        lut = self._lut(lambda x: 1 - (x & 1), degree=1)
+        bit = self._pbs_blocks(
+            a.ct[..., :1, :], int(a.degrees[0]), int(a.noise_levels[0]), lut
+        )
+        return BooleanBlock(ct=bit[..., 0, :])
+
+    def is_odd(self, a: RadixCiphertext) -> BooleanBlock:
+        a = self._clean(a)
+        lut = self._lut(lambda x: x & 1, degree=1)
+        bit = self._pbs_blocks(
+            a.ct[..., :1, :], int(a.degrees[0]), int(a.noise_levels[0]), lut
+        )
+        return BooleanBlock(ct=bit[..., 0, :])
+
+    def ilog2(self, a: RadixCiphertext) -> RadixCiphertext:
+        """floor(log2(a)) for a > 0 (radix_parallel/ilog2.rs): position of
+        the most significant set bit via per-bit ge-comparisons summed."""
+        a = self._clean(a)
+        nb = a.num_blocks
+        total_bits = nb * self._bits_per_block()
+        # ilog2(a) = sum_{k=1}^{bits-1} [a >= 2^k]
+        terms = []
+        for k in range(1, total_bits):
+            bit = self.scalar_ge(a, 1 << k)
+            ct = self._trivial_zero_blocks(a, nb)
+            ct = ct.at[..., 0, :].set(bit.ct)
+            degs = np.zeros(nb, dtype=np.int64)
+            degs[0] = 1
+            noises = np.zeros(nb, dtype=np.int64)
+            noises[0] = NOMINAL_NOISE
+            terms.append(
+                RadixCiphertext(
+                    ct=ct, degrees=degs, noise_levels=noises,
+                    message_modulus=a.message_modulus,
+                    carry_modulus=a.carry_modulus,
+                )
+            )
+        return self.sum_ciphertexts(terms)
+
+    # ======================================================================
     # signed (two's complement) ops — reference tests_signed/, SignedRadix.
     # Blocks are identical to unsigned; only comparisons, right shift, abs,
     # division and sign extension differ.
