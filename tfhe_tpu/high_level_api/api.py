@@ -356,6 +356,21 @@ class _FheIntegerBase:
             return self
         return self._wrap(_sk().abs(self.ct))
 
+    def count_ones(self):
+        return self._wrap(_sk().count_ones(self.ct))
+
+    def count_zeros(self):
+        return self._wrap(_sk().count_zeros(self.ct))
+
+    def is_even(self) -> FheBool:
+        return FheBool(_sk().is_even(self.ct))
+
+    def is_odd(self) -> FheBool:
+        return FheBool(_sk().is_odd(self.ct))
+
+    def ilog2(self):
+        return self._wrap(_sk().ilog2(self.ct))
+
     # -- casts ------------------------------------------------------------------
     def cast_into(self, target_cls):
         """FheUintA -> FheUintB / FheIntB (reference CastInto impls)."""
