@@ -294,6 +294,8 @@ class _FheIntegerBase:
         return self._wrap(_sk().scalar_left_shift(self.ct, int(other)))
 
     def __rshift__(self, other):
+        if isinstance(other, _FheIntegerBase) and self.SIGNED:
+            return self._wrap(_sk().arithmetic_right_shift_encrypted(self.ct, other.ct))
         if isinstance(other, _FheIntegerBase):
             return self._wrap(_sk().right_shift(self.ct, other.ct))
         if self.SIGNED:

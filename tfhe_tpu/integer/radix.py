@@ -1307,6 +1307,14 @@ class ServerKey:
             noise_levels=np.full(nb, NOMINAL_NOISE, dtype=np.int64),
         )
 
+    def arithmetic_right_shift_encrypted(
+        self, a: RadixCiphertext, amount: RadixCiphertext
+    ) -> RadixCiphertext:
+        """Signed >> by an ENCRYPTED amount: barrel shifter whose per-bit
+        conditional step is the sign-extending shift (reference
+        shift.rs signed right_shift_parallelized)."""
+        return self._barrel_shift(a, amount, self.arithmetic_right_shift)
+
     def signed_div_rem(self, num: RadixCiphertext, den: RadixCiphertext):
         """Signed division with C/Rust truncation semantics
         (div_mod.rs signed path): |num| / |den| with sign fixups."""

@@ -95,7 +95,9 @@ def ksk_to_i8_limbs(ksk: "np.ndarray", base_log: int) -> "np.ndarray":
     """
     import numpy as np
 
-    assert base_log <= 8, "digits must fit int8 for the MXU keyswitch"
+    # base_log == 8 would admit a +128 balanced digit, which wraps to -128
+    # in int8 and silently corrupts the keyswitch; cap at 7 (|digit| <= 64).
+    assert base_log <= 7, "balanced digits must fit int8 for the MXU keyswitch"
     v = np.asarray(ksk, dtype=np.uint64).copy()
     limbs = np.empty(v.shape + (8,), dtype=np.int8)
     for k in range(8):

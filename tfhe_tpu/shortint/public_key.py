@@ -22,11 +22,12 @@ from .ciphertext import NOMINAL_NOISE, ShortintCiphertext
 from .client_key import ClientKey
 
 
-# reference zero_encryption_count for LwePublicKey:
-# lwe_public_key_generation.rs uses LwePublicKeyZeroEncryptionCount, shortint
-# picks ceil(1.3 * lwe_size * log2(q)) style margins; we use 2*(n+1) + 128
+# reference zero_encryption_count for LwePublicKey
+# (shortint/engine/public_side.rs:15-22): (n + 1) * log2(q) + 128 zero
+# encryptions, the leftover-hash-lemma margin that makes Regev subset-sum
+# public encryption semantically secure.
 def _zero_count(n: int) -> int:
-    return 2 * (n + 1) + 128
+    return (n + 1) * 64 + 128
 
 
 @dataclass
@@ -45,8 +46,13 @@ class PublicKey:
         zeros = algo.lwe_encrypt(sk, pts, noise, client_key._enc_gen)
         return cls(zeros=np.asarray(zeros), params=p)
 
-    def encrypt(self, values, rng: np.random.Generator = None) -> ShortintCiphertext:
-        """Random-subset-sum public encryption (standard.rs encrypt)."""
+    def encrypt(self, values, rng=None) -> ShortintCiphertext:
+        """Random-subset-sum public encryption (standard.rs encrypt).
+
+        The subset-selection bits are encryption randomness: they come from
+        the AES-CTR CSPRNG (seeded from OS entropy by default), matching the
+        reference's SecretRandomGenerator, never a non-cryptographic PRNG.
+        """
         import jax.numpy as jnp
 
         from ..utils.encoding import ShortintEncoding
@@ -59,10 +65,17 @@ class PublicKey:
             padding_bit=True,
         )
         if rng is None:
-            rng = np.random.default_rng()
+            import secrets
+
+            from ..utils.csprng import AesCtrGenerator
+
+            rng = AesCtrGenerator(seed=secrets.randbits(128))
         vals = np.atleast_1d(np.asarray(values, dtype=np.uint64))
         count = self.zeros.shape[0]
-        sel = rng.integers(0, 2, size=(vals.size, count), dtype=np.uint64)
+        if isinstance(rng, np.random.Generator):  # test-only deterministic path
+            sel = rng.integers(0, 2, size=(vals.size, count), dtype=np.uint64)
+        else:
+            sel = rng.uniform_binary(vals.size * count).reshape(vals.size, count).astype(np.uint64)
         with np.errstate(over="ignore"):
             cts = (sel[:, :, None] * self.zeros[None]).sum(axis=1)
             for i, v in enumerate(vals.reshape(-1)):

@@ -435,11 +435,34 @@ class ServerKey:
         return self.apply_lookup_table(packed, lut)
 
     def add(self, a: ShortintCiphertext, b: ShortintCiphertext) -> ShortintCiphertext:
-        """Checked add + carry-aware message extraction when overflow risks."""
+        """Default add (shortint/server_key/add.rs:85-101 add_assign):
+        message-extract dirty inputs, leveled add, then message-extract the
+        result — output always has an empty carry."""
+        mm = self.params.message_modulus
+        if a.degree >= mm:
+            a = self.message_extract(a)
+        if b.degree >= mm:
+            b = self.message_extract(b)
         out = self.unchecked_add(a, b)
         self._check_noise(out.noise_level)
-        if out.degree >= self.params.message_modulus * self.params.carry_modulus:
-            out = self.message_extract(out)
+        return self.message_extract(out)
+
+    def smart_add(self, a: ShortintCiphertext, b: ShortintCiphertext) -> ShortintCiphertext:
+        """Smart add (add.rs:303-325): clean inputs only when the leveled sum
+        would overflow degree/noise budgets, then return the unchecked sum —
+        carries are PRESERVED for the caller."""
+        p = self.params
+        budget = p.message_modulus * p.carry_modulus - 1
+        if (
+            a.degree + b.degree > budget
+            or a.noise_level + b.noise_level > self.params.max_noise_level
+        ):
+            if a.degree >= b.degree:
+                a = self.message_extract(a)
+            if a.degree + b.degree > budget:
+                b = self.message_extract(b)
+        out = self.unchecked_add(a, b)
+        self._check_noise(out.noise_level)
         return out
 
     def mul(self, a: ShortintCiphertext, b: ShortintCiphertext) -> ShortintCiphertext:

@@ -95,20 +95,24 @@ def deserialize(data: bytes, expected_type: Optional[str] = None,
     if conformance is not None and not conformance(header):
         raise SerializationError("conformance check failed")
     base = 12 + hlen
-    expected_end = base + max(
-        (s["offset"] + s["nbytes"] for s in header["arrays"].values()), default=0
-    )
-    if len(data) < expected_end:
-        raise SerializationError(
-            f"truncated payload: {len(data)} bytes, header declares {expected_end}"
-        )
+    avail = len(data) - base
     arrays = {}
     for k, spec in header["arrays"].items():
-        start = base + spec["offset"]
-        raw = data[start : start + spec["nbytes"]]
-        arrays[k] = np.frombuffer(raw, dtype=np.dtype(spec["dtype"])).reshape(
-            spec["shape"]
-        ).copy()
+        off, nbytes = int(spec["offset"]), int(spec["nbytes"])
+        dt = np.dtype(spec["dtype"])
+        shape = tuple(int(d) for d in spec["shape"])
+        if any(d < 0 for d in shape):
+            raise SerializationError(f"array {k!r}: negative dimension")
+        want = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+        # untrusted header: every bound checked before slicing (a negative
+        # offset would otherwise silently read header bytes)
+        if off < 0 or nbytes < 0 or off + nbytes > avail or nbytes != want:
+            raise SerializationError(
+                f"array {k!r}: bad spec offset={off} nbytes={nbytes} "
+                f"(payload {avail} bytes, shape needs {want})"
+            )
+        raw = data[base + off : base + off + nbytes]
+        arrays[k] = np.frombuffer(raw, dtype=dt).reshape(shape).copy()
     payload = {"meta": header["meta"], "arrays": arrays}
     ver = header["type_version"]
     while ver < cur_ver:
