@@ -46,6 +46,9 @@ class CompressionParameters:
     lwe_per_glwe: int
     storage_log_modulus: int
     packing_ks_key_noise_distribution: DynamicDistribution
+    # 0 = classic decompression; >0 = multi-bit decompression BSK grouping
+    # (reference MultiBitCompressionParameters, list_compression.rs:129)
+    decompression_grouping_factor: int = 0
     name: str = ""
 
 

@@ -106,6 +106,18 @@ NATIVE_U64 = CiphertextModulus.new_native(64)
 
 
 @dataclass(frozen=True)
+class ModulusSwitchNoiseReductionParams:
+    """Drift-technique modulus-switch noise reduction parameters
+    (``core_crypto/algorithms/modulus_switch_noise_reduction.rs``,
+    ``ModulusSwitchNoiseReductionParams``)."""
+
+    modulus_switch_zeros_count: int
+    ms_bound: float
+    ms_r_sigma_factor: float
+    ms_input_variance: float
+
+
+@dataclass(frozen=True)
 class ClassicPBSParameters:
     """Parameters of the classic (non-multi-bit) shortint atomic pattern.
 
@@ -131,6 +143,9 @@ class ClassicPBSParameters:
     modulus_switch_type: ModulusSwitchType = (
         ModulusSwitchType.CENTERED_MEAN_NOISE_REDUCTION
     )
+    modulus_switch_noise_reduction_params: Optional[
+        ModulusSwitchNoiseReductionParams
+    ] = None
     name: str = ""
 
     # ---- derived quantities -------------------------------------------------
@@ -189,6 +204,141 @@ class MultiBitPBSParameters:
     @property
     def cleartext_modulus(self) -> int:
         return self.message_modulus * self.carry_modulus
+
+
+@dataclass(frozen=True)
+class KeySwitch32PBSParameters:
+    """KS32 atomic-pattern parameters: the keyswitch runs over a u32
+    ciphertext modulus (reference ``shortint/parameters/ks32.rs:26``,
+    ``shortint/atomic_pattern/ks32.rs``)."""
+
+    lwe_dimension: int
+    glwe_dimension: int
+    polynomial_size: int
+    lwe_noise_distribution: DynamicDistribution  # over u32 torus
+    glwe_noise_distribution: DynamicDistribution  # over u64 torus
+    pbs_base_log: int
+    pbs_level: int
+    ks_base_log: int
+    ks_level: int
+    message_modulus: int
+    carry_modulus: int
+    max_noise_level: int
+    log2_p_fail: float
+    post_keyswitch_ciphertext_modulus: CiphertextModulus = field(
+        default_factory=lambda: CiphertextModulus.new_native(32)
+    )
+    ciphertext_modulus: CiphertextModulus = NATIVE_U64
+    modulus_switch_type: ModulusSwitchType = (
+        ModulusSwitchType.CENTERED_MEAN_NOISE_REDUCTION
+    )
+    modulus_switch_noise_reduction_params: Optional[
+        ModulusSwitchNoiseReductionParams
+    ] = None
+    name: str = ""
+
+    # KS32 ciphertexts are encrypted under the big key; KS -> PBS order.
+    encryption_key_choice: EncryptionKeyChoice = EncryptionKeyChoice.BIG
+
+    @property
+    def glwe_size(self) -> int:
+        return self.glwe_dimension + 1
+
+    @property
+    def big_lwe_dimension(self) -> int:
+        return self.glwe_dimension * self.polynomial_size
+
+    @property
+    def cleartext_modulus(self) -> int:
+        return self.message_modulus * self.carry_modulus
+
+
+@dataclass(frozen=True)
+class NoiseSquashingParameters:
+    """Noise squashing (u128 PBS) parameters (reference
+    ``shortint/parameters/noise_squashing.rs:106,120``). ``grouping_factor``
+    is 0 for the classic variant, >0 for multi-bit."""
+
+    glwe_dimension: int
+    polynomial_size: int
+    glwe_noise_distribution: DynamicDistribution  # over the u128 torus
+    decomp_base_log: int
+    decomp_level_count: int
+    message_modulus: int
+    carry_modulus: int
+    modulus_switch_type: ModulusSwitchType = ModulusSwitchType.STANDARD
+    modulus_switch_noise_reduction_params: Optional[
+        ModulusSwitchNoiseReductionParams
+    ] = None
+    grouping_factor: int = 0
+    deterministic_execution: bool = False
+    ciphertext_modulus: CiphertextModulus = field(
+        default_factory=lambda: CiphertextModulus.new_native(128)
+    )
+    name: str = ""
+
+    @property
+    def glwe_size(self) -> int:
+        return self.glwe_dimension + 1
+
+
+@dataclass(frozen=True)
+class NoiseSquashingCompressionParameters:
+    """Compression of noise-squashed ciphertexts (reference
+    ``shortint/parameters/noise_squashing.rs:135``)."""
+
+    packing_ks_level: int
+    packing_ks_base_log: int
+    packing_ks_polynomial_size: int
+    packing_ks_glwe_dimension: int
+    lwe_per_glwe: int
+    packing_ks_key_noise_distribution: DynamicDistribution  # u128 torus
+    message_modulus: int
+    carry_modulus: int
+    ciphertext_modulus: CiphertextModulus = field(
+        default_factory=lambda: CiphertextModulus.new_native(128)
+    )
+    name: str = ""
+
+
+@dataclass(frozen=True)
+class CompactPublicKeyEncryptionParameters:
+    """Dedicated compact-public-key encryption parameters (reference
+    ``shortint/parameters/compact_public_key_only.rs:47``)."""
+
+    encryption_lwe_dimension: int
+    encryption_noise_distribution: DynamicDistribution
+    message_modulus: int
+    carry_modulus: int
+    expansion_kind: str = "requires_casting"  # or 'no_casting_<order>'
+    zk_scheme: str = "v2"
+    ciphertext_modulus: CiphertextModulus = NATIVE_U64
+    name: str = ""
+
+
+@dataclass(frozen=True)
+class ShortintKeySwitchingParameters:
+    """Parameters of a key-switching key between two shortint keysets
+    (param casting; reference ``shortint/parameters/key_switching.rs:11``)."""
+
+    ks_base_log: int
+    ks_level: int
+    destination_key: EncryptionKeyChoice = EncryptionKeyChoice.BIG
+    name: str = ""
+
+
+@dataclass(frozen=True)
+class MetaParameters:
+    """A coherent bundle of parameter sets (reference
+    ``shortint/parameters/meta.rs`` MetaParameters): the compute set plus
+    optional dedicated-CPK, compression and noise-squashing companions."""
+
+    backend: str  # 'cpu' | 'gpu' | 'hpu' (informational; TPU runs all)
+    compute_parameters: object  # ClassicPBSParameters | MultiBitPBSParameters | KeySwitch32PBSParameters
+    dedicated_compact_public_key_parameters: Optional[tuple] = None  # (pke, ksk)
+    compression_parameters: Optional[object] = None
+    noise_squashing_parameters: Optional[object] = None  # (squash, Optional[comp])
+    name: str = ""
 
 
 @dataclass(frozen=True)
@@ -301,6 +451,21 @@ PARAM_TEST_TOY = ClassicPBSParameters(
     name="PARAM_TEST_TOY",
 )
 
+# Small, *insecure* noise-squashing parameters for fast CI tests (the real
+# sets live in params_registry, e.g.
+# NOISE_SQUASHING_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128).
+PARAM_TEST_TOY_SQUASH = NoiseSquashingParameters(
+    glwe_dimension=1,
+    polynomial_size=256,
+    glwe_noise_distribution=_T(3),
+    decomp_base_log=24,
+    decomp_level_count=3,
+    message_modulus=4,
+    carry_modulus=4,
+    modulus_switch_type=ModulusSwitchType.STANDARD,
+    name="PARAM_TEST_TOY_SQUASH",
+)
+
 # Reference: boolean/parameters/params.rs DEFAULT_PARAMETERS
 BOOLEAN_DEFAULT_PARAMETERS = BooleanParameters(
     lwe_dimension=805,
@@ -394,8 +559,32 @@ ALL_CLASSIC_PBS_PARAMETERS = {
     )
 }
 
-# name -> parameters registry (used by serialization)
-PARAMS_BY_NAME = dict(ALL_CLASSIC_PBS_PARAMETERS)
+# name -> parameters registry (used by serialization). Backed by the full
+# generated v1_5 universe (params_registry.UNIVERSE, 626 sets); the handful
+# of hand-written constants above take precedence for names they define.
+#
+# NOTE one deliberate divergence, kept for round-over-round bench
+# continuity: the module-level constant PARAM_MESSAGE_2_CARRY_2_KS_PBS above
+# carries the GAUSSIAN_2M128 values, while the reference's alias of that
+# name resolves to TUNIFORM_2M128 (aliases.rs:77). Look the name up in
+# params_registry.UNIVERSE for the reference-exact alias meaning.
+class _ParamsByName(dict):
+    def __missing__(self, name):
+        from .params_registry import UNIVERSE
+
+        v = UNIVERSE[name]
+        self[name] = v
+        return v
+
+    def __contains__(self, name):
+        if dict.__contains__(self, name):
+            return True
+        from .params_universe import RAW_PARAMS
+
+        return name in RAW_PARAMS
+
+
+PARAMS_BY_NAME = _ParamsByName(ALL_CLASSIC_PBS_PARAMETERS)
 PARAMS_BY_NAME.update({
     p.name: p
     for p in (
