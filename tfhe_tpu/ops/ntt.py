@@ -39,14 +39,23 @@ import jax.numpy as jnp
 import numpy as np
 
 # The five ~30-bit NTT-friendly primes of tfhe-ntt native64::Plan32
-# (tfhe-ntt/src/lib.rs:457-461). p - 1 is divisible by 2^16 for each, so
-# negacyclic transforms are supported for N up to 2^15.
+# (tfhe-ntt/src/lib.rs:457-461), extended with six more primes of the same
+# c*2^16 + 1 form for wider CRT budgets (the u128 noise-squashing path needs
+# ~166 bits => 6 primes). p - 1 is divisible by 2^16 for each, so negacyclic
+# transforms are supported for N up to 2^15. The first five stay in tfhe-ntt
+# order so Plan32 parity fixtures remain valid.
 PRIMES32: tuple[int, ...] = (
     0x3F5A0001,
     0x3F5D0001,
     0x3F760001,
     0x3F820001,
     0x3FAC0001,
+    0x3FFC0001,
+    0x3FED0001,
+    0x3FDE0001,
+    0x3FD20001,
+    0x3FBB0001,
+    0x3FB10001,
 )
 
 
