@@ -26,6 +26,37 @@ import numpy as np
 BASELINE_PBS_PER_S = 1075.0
 
 
+def kernels_main():
+    """Per-kernel roofline suite (``bench.py --kernels [out.json]``): one
+    JSON line per kernel with achieved rate and fraction-of-peak estimate."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    from tfhe_tpu.ops import kernel_bench as kb
+
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    sink = open(out_path, "a") if out_path else sys.stdout
+    benches = [
+        lambda: kb.bench_ntt(2048, 4, direction="fwd"),
+        lambda: kb.bench_ntt(2048, 4, direction="inv"),
+        kb.bench_pointwise_mac,
+        kb.bench_rotate,
+        kb.bench_decompose,
+        kb.bench_step,
+        kb.bench_keyswitch,
+        lambda: kb.bench_ntt_jnp(16384, 5),
+    ]
+    for b in benches:
+        try:
+            r = b()
+            r = {k: (round(v, 9) if isinstance(v, float) else v) for k, v in r.items()}
+        except Exception as e:  # keep going; partial data is still data
+            r = {"error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(r), file=sink, flush=True)
+    if out_path:
+        sink.close()
+
+
 def main():
     import jax
 
@@ -71,4 +102,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--kernels":
+        kernels_main()
+    else:
+        main()

@@ -64,6 +64,8 @@ def _fake_run_kernel(acc, a, ggsw):
     consts = [
         tabs.tw_fwd, tabs.tw_fwd_sh, tabs.tw_inv, tabs.tw_inv_sh,
         tabs.twist, tabs.twist_sh, tabs.untwist, tabs.untwist_sh, tabs.upper,
+        tabs.tw_fwd_col, tabs.tw_fwd_col_sh, tabs.tw_inv_col,
+        tabs.tw_inv_col_sh,
     ]
     out_hi, out_lo = FakeOut(), FakeOut()
     kernel(

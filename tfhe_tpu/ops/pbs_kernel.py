@@ -154,6 +154,19 @@ class _KernelTables:
         self.tw_inv_sh = np.stack(
             [lane_table(plan.tw_inv_shoup[s]) for s in range(log_n)], 1
         )
+        # Sub-NTT twiddle COLUMNS for the transposed small-stride stages:
+        # stages with h < 128 act within each 128-lane block with a pattern
+        # that repeats every 2h, so the first 128 lane-table entries describe
+        # the whole stage once the block is transposed onto sublanes.
+        # [P, n_small_stages, 128] (fwd and inv; stage order as in tw_*).
+        sub = min(128, n)
+        n_small = sum(1 for s in range(log_n) if ((n >> s) >> 1) < 128)
+        first_small = log_n - n_small
+        self.tw_fwd_col = self.tw_fwd[:, first_small:, :sub].copy()
+        self.tw_fwd_col_sh = self.tw_fwd_sh[:, first_small:, :sub].copy()
+        self.tw_inv_col = self.tw_inv[:, first_small:, :sub].copy()
+        self.tw_inv_col_sh = self.tw_inv_sh[:, first_small:, :sub].copy()
+        self.first_small_stage = first_small
         # [P, log_n, N] each
         self.twist = plan.twist.astype(np.uint32)
         self.twist_sh = plan.twist_shoup.astype(np.uint32)
@@ -225,6 +238,90 @@ def _inv_stage_rolled(x, h, w_row, wsh_row, upper_row, p, p2):
 
 
 _SLICE_MIN_H = 128
+
+
+def _fwd_stage_subl(y, h, w_col, wsh_col, p, p2):
+    """One forward DIF stage on the TRANSPOSED block: butterflies along the
+    sublane axis via static sublane slices (h < 128)."""
+    m = y.shape[0]
+    pieces = []
+    for b in range(m // (2 * h)):
+        a = y[b * 2 * h : b * 2 * h + h, :]
+        bb = y[b * 2 * h + h : (b + 1) * 2 * h, :]
+        u = _condsub(a + bb, p2)
+        t = a + p2 - bb
+        w = w_col[b * 2 * h + h : (b + 1) * 2 * h, :]
+        wsh = wsh_col[b * 2 * h + h : (b + 1) * 2 * h, :]
+        v = _shoup(t, w, wsh, p)
+        pieces.extend([u, v])
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _inv_stage_subl(y, h, w_col, wsh_col, p, p2):
+    m = y.shape[0]
+    pieces = []
+    for b in range(m // (2 * h)):
+        u = y[b * 2 * h : b * 2 * h + h, :]
+        v = y[b * 2 * h + h : (b + 1) * 2 * h, :]
+        w = w_col[b * 2 * h + h : (b + 1) * 2 * h, :]
+        wsh = wsh_col[b * 2 * h + h : (b + 1) * 2 * h, :]
+        bw = _shoup(v, w, wsh, p)
+        a = _condsub(u + bw, p2)
+        bpiece = _condsub(u + p2 - bw, p2)
+        pieces.extend([a, bpiece])
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _fwd_ntt_v2(x, pi, tabs_c, p, p2, log_n):
+    """Forward negacyclic NTT, transposed-small-stage variant.
+
+    Identical math (and bit-identical output) to :func:`_fwd_ntt`, but the
+    h < 128 stages run on a transposed [128, Bt*N/128] block so butterflies
+    are static SUBLANE slices instead of lane rolls + masked selects —
+    measured ~99 ns per (128,128) u32 transpose on v5e vs ~730 ns per
+    rolled stage, and the sliced form does half the arithmetic.
+    """
+    bt, n = x.shape
+    x = _shoup(x, tabs_c["twist"][pi], tabs_c["twist_sh"][pi], p)
+    n_small = log_n - tabs_c["first_small"]
+    for s in range(tabs_c["first_small"]):
+        h = (n >> s) >> 1
+        x = _fwd_stage_sliced(
+            x, h, tabs_c["tw_fwd"][pi, s][None], tabs_c["tw_fwd_sh"][pi, s][None],
+            p, p2,
+        )
+    rows = bt * (n // 128)
+    y = x.reshape(rows, 128).T  # [j, (b, block)]
+    for k in range(n_small):
+        h = 128 >> (k + 1)
+        y = _fwd_stage_subl(
+            y, h, tabs_c["tw_fwd_col"][pi, k][:, None],
+            tabs_c["tw_fwd_col_sh"][pi, k][:, None], p, p2,
+        )
+    return y.T.reshape(bt, n)
+
+
+def _inv_ntt_v2(x, pi, tabs_c, p, p2, log_n):
+    """Inverse of :func:`_fwd_ntt_v2`; bit-identical to :func:`_inv_ntt`."""
+    bt, n = x.shape
+    n_small = log_n - tabs_c["first_small"]
+    rows = bt * (n // 128)
+    y = x.reshape(rows, 128).T
+    for k in reversed(range(n_small)):
+        h = 128 >> (k + 1)
+        y = _inv_stage_subl(
+            y, h, tabs_c["tw_inv_col"][pi, k][:, None],
+            tabs_c["tw_inv_col_sh"][pi, k][:, None], p, p2,
+        )
+    x = y.T.reshape(bt, n)
+    for s in reversed(range(tabs_c["first_small"])):
+        h = (n >> s) >> 1
+        x = _inv_stage_sliced(
+            x, h, tabs_c["tw_inv"][pi, s][None], tabs_c["tw_inv_sh"][pi, s][None],
+            p, p2,
+        )
+    x = _shoup(x, tabs_c["untwist"][pi], tabs_c["untwist_sh"][pi], p)
+    return _condsub(x, p)
 
 
 def _fwd_ntt(x, pi, tabs_c, p, p2, log_n):
@@ -316,12 +413,18 @@ def _decompose_u32(hi, lo, base_log, levels):
 # ---------------------------------------------------------------------------
 
 def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
-                      unroll: int = 1):
+                      unroll: int = 1, use_v2: bool = True, ablate: str = ""):
+    """``ablate`` (bench-only, breaks correctness): skip one stage to
+    measure its in-situ cost — 'ntt' | 'mac' | 'rot' | 'decomp' | 'crt'."""
     log_n = n.bit_length() - 1
     log_2n = log_n + 1
     plan = tabs.plan
     primes = plan.primes
     P = num_primes
+    fwd_fn = _fwd_ntt_v2 if use_v2 else _fwd_ntt
+    inv_fn = _inv_ntt_v2 if use_v2 else _inv_ntt
+    if ablate == "ntt":
+        fwd_fn = inv_fn = lambda x, pi, tabs_c, p, p2, log_n: x
 
     # Garner constants (python ints baked into the kernel)
     garner_inv = plan.garner_inv
@@ -337,9 +440,15 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
         digit_polys = []  # [levels * R] of [Bt, N] i32 (level-major)
         per_r_digits = []
         for r in range(R):
-            rhi, rlo = _negacyclic_rot(hi[r], lo[r], a_bits, lane_idx, log_2n)
-            dhi, dlo = _sub64(rhi, rlo, hi[r], lo[r])
-            per_r_digits.append(_decompose_u32(dhi, dlo, base_log, levels))
+            if ablate == "rot":
+                dhi, dlo = hi[r], lo[r]
+            else:
+                rhi, rlo = _negacyclic_rot(hi[r], lo[r], a_bits, lane_idx, log_2n)
+                dhi, dlo = _sub64(rhi, rlo, hi[r], lo[r])
+            if ablate == "decomp":
+                per_r_digits.append([dhi.astype(I32)] * levels)
+            else:
+                per_r_digits.append(_decompose_u32(dhi, dlo, base_log, levels))
         for lev in range(levels):
             for r in range(R):
                 digit_polys.append(per_r_digits[r][lev])
@@ -352,18 +461,27 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
             for j in range(levels * R):
                 d = digit_polys[j]
                 rres = jnp.where(d < I32(0), d + p.astype(I32), d).astype(U32)
-                dhat.append(_fwd_ntt(rres, pi, tabs_c, p, p2, log_n))
+                dhat.append(fwd_fn(rres, pi, tabs_c, p, p2, log_n))
             res_p = []
             for c in range(R):
-                acc_m = None
-                for j in range(levels * R):
-                    g = bsk[0, pi, j, c][None]  # [1, N]
-                    gsh = bsk[1, pi, j, c][None]
-                    term = _shoup(dhat[j], g, gsh, p)  # < 2p
-                    acc_m = term if acc_m is None else _condsub(acc_m + term, p2)
-                res_p.append(_inv_ntt(acc_m, pi, tabs_c, p, p2, log_n))
+                if ablate == "mac":
+                    acc_m = dhat[c % (levels * R)]
+                else:
+                    acc_m = None
+                    for j in range(levels * R):
+                        g = bsk[0, pi, j, c][None]  # [1, N]
+                        gsh = bsk[1, pi, j, c][None]
+                        term = _shoup(dhat[j], g, gsh, p)  # < 2p
+                        acc_m = term if acc_m is None else _condsub(acc_m + term, p2)
+                res_p.append(inv_fn(acc_m, pi, tabs_c, p, p2, log_n))
             residues.append(res_p)
 
+        if ablate == "crt":
+            for c in range(R):
+                ehi = residues[0][c]
+                elo = residues[P - 1][c]
+                hi[c], lo[c] = _add64(hi[c], lo[c], ehi, elo)
+            return hi, lo
         for c in range(R):
             m = [residues[pi][c] for pi in range(P)]
             v = [m[0]]
@@ -401,7 +519,8 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
         return hi, lo
 
     def kernel(a_ref, bsk_ref, tf_ref, tfs_ref, ti_ref, tis_ref, tw_ref,
-               tws_ref, utw_ref, utws_ref, up_ref, acc_hi_ref, acc_lo_ref,
+               tws_ref, utw_ref, utws_ref, up_ref, tfc_ref, tfcs_ref,
+               tic_ref, tics_ref, acc_hi_ref, acc_lo_ref,
                out_hi_ref, out_lo_ref):
         tabs_c = {
             "tw_fwd": tf_ref[:], "tw_fwd_sh": tfs_ref[:],
@@ -409,6 +528,9 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
             "twist": tw_ref[:], "twist_sh": tws_ref[:],
             "untwist": utw_ref[:], "untwist_sh": utws_ref[:],
             "upper": up_ref[:],
+            "tw_fwd_col": tfc_ref[:], "tw_fwd_col_sh": tfcs_ref[:],
+            "tw_inv_col": tic_ref[:], "tw_inv_col_sh": tics_ref[:],
+            "first_small": tabs.first_small_stage,
         }
         lane_idx = lax.broadcasted_iota(U32, (1, n), 1)
         hi = [acc_hi_ref[r] for r in range(R)]
@@ -425,18 +547,24 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1):
+def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1,
+                   use_v2=None, ablate=""):
     """Returns fn(a_ms_u32[U,B,1], bsk_step[U,2,P,l*R,R,N], acc_hi, acc_lo)
     -> (acc_hi, acc_lo), each acc u32[R, B, N]; performs ``unroll`` steps."""
+    if use_v2 is None:
+        use_v2 = n >= 256 and n % 128 == 0
     tabs = _get_tables(n, num_primes)
     kernel = _make_step_kernel(n, num_primes, base_log, levels, R, tabs,
-                               unroll=unroll)
+                               unroll=unroll, use_v2=use_v2, ablate=ablate)
     P = num_primes
     log_n = n.bit_length() - 1
+    n_small = log_n - tabs.first_small_stage
 
     consts = [
         tabs.tw_fwd, tabs.tw_fwd_sh, tabs.tw_inv, tabs.tw_inv_sh,
         tabs.twist, tabs.twist_sh, tabs.untwist, tabs.untwist_sh, tabs.upper,
+        tabs.tw_fwd_col, tabs.tw_fwd_col_sh, tabs.tw_inv_col,
+        tabs.tw_inv_col_sh,
     ]
 
     def step(a_ms, bsk_step, acc_hi, acc_lo):
@@ -468,6 +596,8 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1):
                 full((P, log_n, n)), full((P, log_n, n)),
                 full((P, n)), full((P, n)), full((P, n)), full((P, n)),
                 full((log_n, n)),
+                full((P, n_small, min(128, n))), full((P, n_small, min(128, n))),
+                full((P, n_small, min(128, n))), full((P, n_small, min(128, n))),
                 acc_spec, acc_spec,
             ],
             out_specs=(acc_spec, acc_spec),
@@ -475,7 +605,7 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1):
                 jax.ShapeDtypeStruct((R, B, n), jnp.uint32),
                 jax.ShapeDtypeStruct((R, B, n), jnp.uint32),
             ),
-            input_output_aliases={11: 0, 12: 1},
+            input_output_aliases={15: 0, 16: 1},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
