@@ -41,7 +41,7 @@ def jnp_roll_mode(monkeypatch):
     monkeypatch.setattr(pk, "_roll", lambda x, s, a: jnp.roll(x, s, axis=a))
 
 
-def _fake_run_kernel(acc, a, ggsw):
+def _fake_run_kernel(acc, a, ggsw, use_mxu=False):
     """Run the kernel body as plain jnp via fake refs."""
     tabs = pk._get_tables(N, P)
 
@@ -59,13 +59,14 @@ def _fake_run_kernel(acc, a, ggsw):
         def __setitem__(self, idx, v):
             self.parts[idx] = v
 
-    kernel = pk._make_step_kernel(N, P, BL, L, R, tabs, unroll=1)
+    kernel = pk._make_step_kernel(N, P, BL, L, R, tabs, unroll=1,
+                                  use_mxu=use_mxu)
     hi, lo = pk.split_u64(jnp.moveaxis(acc, 1, 0))
     consts = [
         tabs.tw_fwd, tabs.tw_fwd_sh, tabs.tw_inv, tabs.tw_inv_sh,
         tabs.twist, tabs.twist_sh, tabs.untwist, tabs.untwist_sh, tabs.upper,
         tabs.tw_fwd_col, tabs.tw_fwd_col_sh, tabs.tw_inv_col,
-        tabs.tw_inv_col_sh,
+        tabs.tw_inv_col_sh, tabs.fwd_w8, tabs.inv_w8,
     ]
     out_hi, out_lo = FakeOut(), FakeOut()
     kernel(
@@ -79,7 +80,8 @@ def _fake_run_kernel(acc, a, ggsw):
     return jnp.moveaxis(pk.merge_u64(ghi, glo), 0, 1)
 
 
-def test_step_kernel_emulation_bit_exact(jnp_roll_mode):
+@pytest.mark.parametrize("use_mxu", [False, True])
+def test_step_kernel_emulation_bit_exact(jnp_roll_mode, use_mxu):
     plan = ntt_mod.get_plan(N, P)
     rng = np.random.default_rng(11)
     acc = jnp.asarray(rng.integers(0, 2**64, size=(B, R, N), dtype=np.uint64))
@@ -87,7 +89,7 @@ def test_step_kernel_emulation_bit_exact(jnp_roll_mode):
     ggsw = make_ggsw(rng)
     ct1 = monomial_mul(acc, jnp.asarray(a)[:, None]) - acc
     ref = np.asarray(acc + so.external_product_ntt(ggsw, ct1, BL, L, plan))
-    got = np.asarray(_fake_run_kernel(acc, a, ggsw))
+    got = np.asarray(_fake_run_kernel(acc, a, ggsw, use_mxu=use_mxu))
     assert np.array_equal(ref, got)
 
 

@@ -177,6 +177,85 @@ class _KernelTables:
             [((j % (n >> s)) < ((n >> s) >> 1)).astype(np.uint32) for s in range(log_n)]
         )  # [log_n, N]: 1 at upper butterfly positions of stage s
 
+        # --- MXU-DFT tables (v3): the composite of all h<128 stages as a
+        # 128x128 matrix mod p, stored as stacked signed int8 limbs so the
+        # whole small-stride half of the transform is int8 matmuls on the
+        # MXU (exact: |row sum| <= 512*128*128 = 2^23 < 2^31).
+        if sub == 128:
+            self.fwd_w8 = np.stack(
+                [self._dft_limb_stack(pi, inverse=False) for pi in range(P)]
+            )  # [P, 4, 512, 128] int8
+            self.inv_w8 = np.stack(
+                [self._dft_limb_stack(pi, inverse=True) for pi in range(P)]
+            )
+            # recombination constants per prime
+            self.c32 = np.array(
+                [(1 << 32) % p for p in plan.primes], dtype=np.uint32
+            )
+            self.c32_sh = np.array(
+                [(((1 << 32) % p) << 32) // p for p in plan.primes],
+                dtype=np.uint32,
+            )
+            self.one_sh = np.array(
+                [(1 << 32) // p for p in plan.primes], dtype=np.uint32
+            )
+            bias = (1 << 23) * (1 + (1 << 8) + (1 << 16) + (1 << 24))
+            self.recomb_bias = np.array(
+                [bias % p for p in plan.primes], dtype=np.uint32
+            )
+
+    def _small_stage_matrix(self, pi: int, inverse: bool) -> np.ndarray:
+        """128x128 matrix M (mod p) with out_row = in_row @ M equal to the
+        composite of the h<128 DIF stages (or their inverse)."""
+        p = np.uint64(self.plan.primes[pi])
+        x = np.eye(128, dtype=np.uint64)  # row j = e_j
+        if not inverse:
+            for k in range(7):
+                h = 128 >> (k + 1)
+                w_col = self.tw_fwd_col[pi, k].astype(np.uint64)
+                out = np.empty_like(x)
+                for b in range(128 // (2 * h)):
+                    s = b * 2 * h
+                    a = x[:, s : s + h]
+                    bb = x[:, s + h : s + 2 * h]
+                    w = w_col[s + h : s + 2 * h][None, :]
+                    out[:, s : s + h] = (a + bb) % p
+                    out[:, s + h : s + 2 * h] = ((a + p - bb) * w) % p
+                x = out
+        else:
+            for k in reversed(range(7)):
+                h = 128 >> (k + 1)
+                w_col = self.tw_inv_col[pi, k].astype(np.uint64)
+                out = np.empty_like(x)
+                for b in range(128 // (2 * h)):
+                    s = b * 2 * h
+                    u = x[:, s : s + h]
+                    v = x[:, s + h : s + 2 * h]
+                    w = w_col[s + h : s + 2 * h][None, :]
+                    bw = (v * w) % p
+                    out[:, s : s + h] = (u + bw) % p
+                    out[:, s + h : s + 2 * h] = (u + p - bw) % p
+                x = out
+        return x
+
+    def _dft_limb_stack(self, pi: int, inverse: bool) -> np.ndarray:
+        """[4, 512, 128] int8: limb j of the stacked [2^{8i} M mod p] rows."""
+        p = int(self.plan.primes[pi])
+        M = self._small_stage_matrix(pi, inverse).astype(object)
+        out = np.zeros((4, 4 * 128, 128), dtype=np.int8)
+        for i in range(4):
+            Wi = (M * pow(2, 8 * i, p)) % p
+            # balanced representative in (-p/2, p/2]
+            Wb = np.where(Wi > p // 2, Wi - p, Wi).astype(np.int64)
+            v = Wb.copy()
+            for j in range(4):
+                d = v & 255
+                d = np.where(d > 127, d - 256, d)
+                out[j, i * 128 : (i + 1) * 128, :] = d.astype(np.int8)
+                v = (v - d) >> 8
+            assert np.all(v == 0), "limb split residue"
+        return out
+
 
 @functools.lru_cache(maxsize=None)
 def _get_tables(n: int, num_primes: int) -> _KernelTables:
@@ -324,6 +403,90 @@ def _inv_ntt_v2(x, pi, tabs_c, p, p2, log_n):
     return _condsub(x, p)
 
 
+def _split4_i8(x):
+    """u32 values < 2^30 -> 4 balanced base-256 int8 limbs, concatenated on
+    the lane axis: [rows, 128] -> [rows, 512] int8."""
+    v = x.astype(I32)
+    limbs = []
+    for _ in range(3):
+        d = v & I32(0xFF)
+        d = jnp.where(d > I32(127), d - I32(256), d)
+        limbs.append(d)
+        v = (v - d) >> I32(8)
+    limbs.append(v)  # < 2^30 / 2^24 + 1 <= 65
+    return jnp.concatenate([l.astype(jnp.int8) for l in limbs], axis=-1)
+
+
+def _mxu_small_dft(y, pi, w8_ref, consts, p):
+    """All h<128 stages as int8 MXU matmuls: [rows, 128] u32 (< p) ->
+    [rows, 128] u32 (< 2p).
+
+    out = sum_j (L @ W_j) * 2^{8j} mod p where L stacks the 4 data limbs on
+    the contraction axis and W_j holds limb j of [2^{8i} M mod p] rows.
+    ``consts`` = (c32, c32_sh, one_sh, bias) python ints for this prime.
+    """
+    c32, c32_sh, one_sh, bias = (U32(c) for c in consts)
+    L = _split4_i8(y)  # [rows, 512] int8
+    u = []
+    for jmb in range(4):
+        u.append(
+            lax.dot_general(
+                L, w8_ref[pi, jmb], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        )  # |U_j| <= 2^23
+    # X = sum_j (U_j + 2^23) * 2^{8j}   (exact in a u32 pair, X < 2^49)
+    a = [(uj + I32(1 << 23)).astype(U32) for uj in u]  # < 2^24
+    lo = a[0] + (a[1] << U32(8))  # a1 << 8 < 2^32, no shift overflow
+    hi = jnp.where(lo < a[0], U32(1), U32(0))
+    t2_hi, t2_lo = a[2] >> U32(16), a[2] << U32(16)
+    hi, lo = _add64(hi, lo, t2_hi, t2_lo)
+    t3_hi, t3_lo = a[3] >> U32(8), a[3] << U32(24)
+    hi, lo = _add64(hi, lo, t3_hi, t3_lo)
+    # reduce X = hi*2^32 + lo mod p, then subtract the limb bias
+    r1 = _shoup(hi, c32, c32_sh, p)  # hi < 2^17
+    q = _mul_hi(lo, one_sh)
+    r2 = lo - q * p  # lo mod p, < 2p (Shoup identity with w = 1)
+    r = _condsub(r1 + r2, U32(2) * p)  # < 2p
+    r = r + U32(2) * p - bias  # bias < p so r stays in (0, 4p)
+    return _condsub(r, U32(2) * p)  # < 2p
+
+
+def _fwd_ntt_v3(x, pi, tabs_c, p, p2, log_n, w8_ref):
+    """Forward NTT, MXU variant: twist + big sliced stages on the VPU, all
+    h<128 stages as one stacked int8 matmul per limb. Returns the result in
+    BLOCK layout [Bt*(N/128), 128] (< 2p) — pointwise ops downstream are
+    layout-agnostic and the inverse starts in block layout."""
+    bt, n = x.shape
+    x = _shoup(x, tabs_c["twist"][pi], tabs_c["twist_sh"][pi], p)
+    for s in range(tabs_c["first_small"]):
+        h = (n >> s) >> 1
+        x = _fwd_stage_sliced(
+            x, h, tabs_c["tw_fwd"][pi, s][None], tabs_c["tw_fwd_sh"][pi, s][None],
+            p, p2,
+        )
+    x = _condsub(x, p)  # < p for the limb split
+    y = x.reshape(bt * (n // 128), 128)
+    return _mxu_small_dft(y, pi, w8_ref, tabs_c["mxu_consts"][pi], p)
+
+
+def _inv_ntt_v3(yb, pi, tabs_c, p, p2, log_n, w8i_ref, bt, n):
+    """Inverse NTT, MXU variant: input in BLOCK layout (< 2p), inverse small
+    stages as matmuls, then the big inverse stages + untwist on the VPU.
+    Output [Bt, N] fully reduced < p (same contract as _inv_ntt)."""
+    yb = _condsub(yb, p)
+    z = _mxu_small_dft(yb, pi, w8i_ref, tabs_c["mxu_consts"][pi], p)  # < 2p, block layout
+    x = z.reshape(bt, n)
+    for s in reversed(range(tabs_c["first_small"])):
+        h = (n >> s) >> 1
+        x = _inv_stage_sliced(
+            x, h, tabs_c["tw_inv"][pi, s][None], tabs_c["tw_inv_sh"][pi, s][None],
+            p, p2,
+        )
+    x = _shoup(x, tabs_c["untwist"][pi], tabs_c["untwist_sh"][pi], p)
+    return _condsub(x, p)
+
+
 def _fwd_ntt(x, pi, tabs_c, p, p2, log_n):
     """Forward negacyclic NTT of residues x (< 2p) for prime index pi.
 
@@ -413,9 +576,11 @@ def _decompose_u32(hi, lo, base_log, levels):
 # ---------------------------------------------------------------------------
 
 def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
-                      unroll: int = 1, use_v2: bool = True, ablate: str = ""):
+                      unroll: int = 1, use_v2: bool = True, ablate: str = "",
+                      use_mxu: bool = False):
     """``ablate`` (bench-only, breaks correctness): skip one stage to
-    measure its in-situ cost — 'ntt' | 'mac' | 'rot' | 'decomp' | 'crt'."""
+    measure its in-situ cost — 'ntt' | 'mac' | 'rot' | 'decomp' | 'crt'.
+    ``use_mxu``: v3 — all h<128 NTT stages as int8 MXU matmuls."""
     log_n = n.bit_length() - 1
     log_2n = log_n + 1
     plan = tabs.plan
@@ -425,6 +590,7 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
     inv_fn = _inv_ntt_v2 if use_v2 else _inv_ntt
     if ablate == "ntt":
         fwd_fn = inv_fn = lambda x, pi, tabs_c, p, p2, log_n: x
+        use_mxu = False
 
     # Garner constants (python ints baked into the kernel)
     garner_inv = plan.garner_inv
@@ -433,7 +599,8 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
     prefix = plan.prefix_mod64  # u64 python ints
     full_prod = plan.full_prod_mod64
 
-    def one_step(hi, lo, a_bits, bsk, tabs_c, lane_idx):
+    def one_step(hi, lo, a_bits, bsk, tabs_c, lane_idx, w8f_ref=None,
+                 w8i_ref=None):
         """One blind-rotation step on in-register limb values.
 
         ``hi``/``lo``: lists of R [Bt, N] u32; ``bsk``: [2, P, l*R, R, N]."""
@@ -453,6 +620,7 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
             for r in range(R):
                 digit_polys.append(per_r_digits[r][lev])
 
+        bt_loc = hi[0].shape[0]
         residues = []  # [P][R] of [Bt, N] u32, canonical < p
         for pi in range(P):
             p = U32(primes[pi])
@@ -461,7 +629,12 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
             for j in range(levels * R):
                 d = digit_polys[j]
                 rres = jnp.where(d < I32(0), d + p.astype(I32), d).astype(U32)
-                dhat.append(fwd_fn(rres, pi, tabs_c, p, p2, log_n))
+                if use_mxu:
+                    dhat.append(
+                        _fwd_ntt_v3(rres, pi, tabs_c, p, p2, log_n, w8f_ref)
+                    )
+                else:
+                    dhat.append(fwd_fn(rres, pi, tabs_c, p, p2, log_n))
             res_p = []
             for c in range(R):
                 if ablate == "mac":
@@ -469,11 +642,28 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
                 else:
                     acc_m = None
                     for j in range(levels * R):
-                        g = bsk[0, pi, j, c][None]  # [1, N]
-                        gsh = bsk[1, pi, j, c][None]
-                        term = _shoup(dhat[j], g, gsh, p)  # < 2p
+                        g = bsk[0, pi, j, c]  # [N]
+                        gsh = bsk[1, pi, j, c]
+                        if use_mxu:
+                            # block layout: view dhat as [Bt, N/128, 128] and
+                            # broadcast the GGSW row over the leading batch
+                            # axis (free — no materialized tile)
+                            g = g.reshape(1, n // 128, 128)
+                            gsh = gsh.reshape(1, n // 128, 128)
+                            d3 = dhat[j].reshape(bt_loc, n // 128, 128)
+                            term = _shoup(d3, g, gsh, p)
+                        else:
+                            term = _shoup(dhat[j], g[None], gsh[None], p)
                         acc_m = term if acc_m is None else _condsub(acc_m + term, p2)
-                res_p.append(inv_fn(acc_m, pi, tabs_c, p, p2, log_n))
+                if use_mxu:
+                    res_p.append(
+                        _inv_ntt_v3(
+                            acc_m.reshape(bt_loc * (n // 128), 128), pi,
+                            tabs_c, p, p2, log_n, w8i_ref, bt_loc, n,
+                        )
+                    )
+                else:
+                    res_p.append(inv_fn(acc_m, pi, tabs_c, p, p2, log_n))
             residues.append(res_p)
 
         if ablate == "crt":
@@ -518,9 +708,17 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
             hi[c], lo[c] = _add64(hi[c], lo[c], ehi, elo)
         return hi, lo
 
+    mxu_consts = None
+    if getattr(tabs, "fwd_w8", None) is not None:
+        mxu_consts = tuple(
+            (int(tabs.c32[i]), int(tabs.c32_sh[i]), int(tabs.one_sh[i]),
+             int(tabs.recomb_bias[i]))
+            for i in range(P)
+        )
+
     def kernel(a_ref, bsk_ref, tf_ref, tfs_ref, ti_ref, tis_ref, tw_ref,
                tws_ref, utw_ref, utws_ref, up_ref, tfc_ref, tfcs_ref,
-               tic_ref, tics_ref, acc_hi_ref, acc_lo_ref,
+               tic_ref, tics_ref, w8f_ref, w8i_ref, acc_hi_ref, acc_lo_ref,
                out_hi_ref, out_lo_ref):
         tabs_c = {
             "tw_fwd": tf_ref[:], "tw_fwd_sh": tfs_ref[:],
@@ -531,13 +729,15 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
             "tw_fwd_col": tfc_ref[:], "tw_fwd_col_sh": tfcs_ref[:],
             "tw_inv_col": tic_ref[:], "tw_inv_col_sh": tics_ref[:],
             "first_small": tabs.first_small_stage,
+            "mxu_consts": mxu_consts,
         }
         lane_idx = lax.broadcasted_iota(U32, (1, n), 1)
         hi = [acc_hi_ref[r] for r in range(R)]
         lo = [acc_lo_ref[r] for r in range(R)]
         for u in range(unroll):
             hi, lo = one_step(
-                hi, lo, a_ref[u], bsk_ref[u], tabs_c, lane_idx
+                hi, lo, a_ref[u], bsk_ref[u], tabs_c, lane_idx,
+                w8f_ref=w8f_ref, w8i_ref=w8i_ref,
             )
         for c in range(R):
             out_hi_ref[c] = hi[c]
@@ -548,14 +748,18 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
 
 @functools.lru_cache(maxsize=None)
 def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1,
-                   use_v2=None, ablate=""):
+                   use_v2=None, ablate="", use_mxu=None):
     """Returns fn(a_ms_u32[U,B,1], bsk_step[U,2,P,l*R,R,N], acc_hi, acc_lo)
     -> (acc_hi, acc_lo), each acc u32[R, B, N]; performs ``unroll`` steps."""
     if use_v2 is None:
         use_v2 = n >= 256 and n % 128 == 0
+    if use_mxu is None:
+        use_mxu = False
+    use_mxu = use_mxu and n >= 256 and n % 128 == 0
     tabs = _get_tables(n, num_primes)
     kernel = _make_step_kernel(n, num_primes, base_log, levels, R, tabs,
-                               unroll=unroll, use_v2=use_v2, ablate=ablate)
+                               unroll=unroll, use_v2=use_v2, ablate=ablate,
+                               use_mxu=use_mxu)
     P = num_primes
     log_n = n.bit_length() - 1
     n_small = log_n - tabs.first_small_stage
@@ -564,7 +768,7 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1,
         tabs.tw_fwd, tabs.tw_fwd_sh, tabs.tw_inv, tabs.tw_inv_sh,
         tabs.twist, tabs.twist_sh, tabs.untwist, tabs.untwist_sh, tabs.upper,
         tabs.tw_fwd_col, tabs.tw_fwd_col_sh, tabs.tw_inv_col,
-        tabs.tw_inv_col_sh,
+        tabs.tw_inv_col_sh, tabs.fwd_w8, tabs.inv_w8,
     ]
 
     def step(a_ms, bsk_step, acc_hi, acc_lo):
@@ -598,6 +802,7 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1,
                 full((log_n, n)),
                 full((P, n_small, min(128, n))), full((P, n_small, min(128, n))),
                 full((P, n_small, min(128, n))), full((P, n_small, min(128, n))),
+                full((P, 4, 512, 128)), full((P, 4, 512, 128)),
                 acc_spec, acc_spec,
             ],
             out_specs=(acc_spec, acc_spec),
@@ -605,7 +810,7 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1,
                 jax.ShapeDtypeStruct((R, B, n), jnp.uint32),
                 jax.ShapeDtypeStruct((R, B, n), jnp.uint32),
             ),
-            input_output_aliases={15: 0, 16: 1},
+            input_output_aliases={17: 0, 18: 1},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
@@ -662,11 +867,20 @@ def blind_rotate_pallas(
     """
     from .polynomial import monomial_div
 
+    import os
+
     nsteps = bsk_scan.shape[0]
     P = bsk_scan.shape[2]
     R = bsk_scan.shape[4]
     n = bsk_scan.shape[5]
     B = lut.shape[0]
+    # NTT small-stage strategy: 'v2' = transposed sublane slices,
+    # 'v1' = lane rolls; overridable for A/B benchmarking
+    variant = os.environ.get("TFHE_NTT_VARIANT", "v2")
+    use_v2 = variant != "v1" and n >= 256 and n % 128 == 0
+    use_mxu = variant == "v3" and n >= 256 and n % 128 == 0
+    unroll = int(os.environ.get("TFHE_UNROLL", unroll))
+    batch_tile = int(os.environ.get("TFHE_BATCH_TILE", batch_tile))
 
     acc = monomial_div(lut, msed_body[..., None])  # u64 [B, R, N]
     acc = jnp.moveaxis(acc, 1, 0)  # [R, B, N]
@@ -687,7 +901,8 @@ def blind_rotate_pallas(
     a_scan = a_scan.reshape((nsteps // unroll, unroll) + a_scan.shape[1:])
     bsk_scan = bsk_scan.reshape((nsteps // unroll, unroll) + bsk_scan.shape[1:])
 
-    step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile, unroll)
+    step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile, unroll,
+                             use_v2=use_v2, use_mxu=use_mxu)
 
     def body(carry, xs):
         hi, lo = carry

@@ -27,6 +27,7 @@ from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as PARAMS
 
 out_path = sys.argv[1] if len(sys.argv) > 1 else None
 use_v2 = "v1" not in sys.argv[2:]
+use_mxu = "v3" in sys.argv[2:]
 sink = open(out_path, "a") if out_path else sys.stdout
 
 n = PARAMS.polynomial_size
@@ -49,7 +50,7 @@ lo0 = jnp.asarray(rng.integers(0, 1 << 32, size=(R, batch, n), dtype=np.uint32))
 
 def time_variant(ablate, lo_steps=8, hi_steps=144):
     step_fn = pk._build_step_fn(n, P, base_log, levels, R, 8, unroll,
-                                use_v2=use_v2, ablate=ablate)
+                                use_v2=use_v2, ablate=ablate, use_mxu=use_mxu)
 
     def make(n_steps):
         def many(hi, lo):
@@ -80,7 +81,7 @@ def time_variant(ablate, lo_steps=8, hi_steps=144):
 
 
 full = time_variant("")
-print(json.dumps({"variant": "full", "v2": use_v2,
+print(json.dumps({"variant": "full", "v2": use_v2, "mxu": use_mxu,
                   "us_per_ct_step": full * 1e6,
                   "implied_pbs_s": 1.0 / (full * PARAMS.lwe_dimension)}),
       file=sink, flush=True)
