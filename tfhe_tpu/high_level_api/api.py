@@ -33,6 +33,10 @@ from ..utils.params import (
 class Config:
     parameters: ClassicPBSParameters = PARAM_MESSAGE_2_CARRY_2_KS_PBS
     seed: Optional[int] = None
+    # optional companion parameter sets (reference Config carries the same
+    # optionals: config.rs / MetaParameters)
+    noise_squashing_parameters: Optional[Any] = None
+    compression_parameters: Optional[Any] = None
 
 
 class ConfigBuilder:
@@ -54,19 +58,72 @@ class ConfigBuilder:
         return Config(parameters=self._params, seed=self._seed)
 
 
+class Tag:
+    """User metadata carried by keys and propagated into every ciphertext
+    produced under them (reference ``high_level_api/tag.rs:319``)."""
+
+    def __init__(self, data: bytes = b""):
+        self.data = bytes(data)
+
+    def __eq__(self, other):
+        return isinstance(other, Tag) and self.data == other.data
+
+    def __repr__(self):
+        return f"Tag({self.data!r})"
+
+
 class ClientKey:
-    def __init__(self, inner: integer.ClientKey):
+    def __init__(self, inner: integer.ClientKey, tag: Tag = None,
+                 noise_squashing_private_key=None):
         self.inner = inner
+        self.tag = tag or Tag()
+        self.noise_squashing_private_key = noise_squashing_private_key
 
     @classmethod
     def generate(cls, config: Config) -> "ClientKey":
         seed = config.seed if config.seed is not None else 0
-        return cls(integer.ClientKey.generate(config.parameters, seed))
+        inner = integer.ClientKey.generate(config.parameters, seed)
+        nspk = None
+        if config.noise_squashing_parameters is not None:
+            from ..shortint.noise_squashing import NoiseSquashingPrivateKey
+
+            nspk = NoiseSquashingPrivateKey.generate(
+                inner.key, config.noise_squashing_parameters
+            )
+        return cls(inner, noise_squashing_private_key=nspk)
 
 
 class ServerKey:
-    def __init__(self, inner: integer.ServerKey):
+    def __init__(self, inner: integer.ServerKey, tag: Tag = None,
+                 noise_squashing_key=None):
         self.inner = inner
+        self.tag = tag or Tag()
+        self.noise_squashing_key = noise_squashing_key
+
+
+class CompressedServerKey:
+    """Seeded server key at the HLAPI level
+    (high_level_api/keys/server.rs CompressedServerKey)."""
+
+    def __init__(self, inner, tag: Tag = None):
+        self.inner = inner
+        self.tag = tag or Tag()
+
+    @classmethod
+    def generate(cls, client_key: ClientKey) -> "CompressedServerKey":
+        from ..shortint.compressed_server_key import (
+            CompressedServerKey as ShortintCompressed,
+        )
+
+        return cls(
+            ShortintCompressed.generate(client_key.inner.key),
+            tag=client_key.tag,
+        )
+
+    def decompress(self) -> ServerKey:
+        return ServerKey(
+            integer.ServerKey(self.inner.decompress()), tag=self.tag
+        )
 
 
 def generate_keys(config: Config, use_keycache: bool = False):
@@ -75,9 +132,24 @@ def generate_keys(config: Config, use_keycache: bool = False):
         from ..keycache import get_shortint_keys
 
         sck, ssk = get_shortint_keys(config.parameters, config.seed or 0)
-        return ClientKey(integer.ClientKey(sck)), ServerKey(integer.ServerKey(ssk))
-    ck = ClientKey.generate(config)
-    sk = ServerKey(integer.ServerKey.generate(ck.inner))
+        ck = ClientKey(integer.ClientKey(sck))
+        sk = ServerKey(integer.ServerKey(ssk))
+    else:
+        ck = ClientKey.generate(config)
+        sk = ServerKey(integer.ServerKey.generate(ck.inner))
+    if config.noise_squashing_parameters is not None:
+        from ..shortint.noise_squashing import (
+            NoiseSquashingKey,
+            NoiseSquashingPrivateKey,
+        )
+
+        if ck.noise_squashing_private_key is None:
+            ck.noise_squashing_private_key = NoiseSquashingPrivateKey.generate(
+                ck.inner.key, config.noise_squashing_parameters
+            )
+        sk.noise_squashing_key = NoiseSquashingKey.generate(
+            ck.inner.key, ck.noise_squashing_private_key
+        )
     return ck, sk
 
 
@@ -98,6 +170,87 @@ def _sk() -> integer.ServerKey:
     if _SERVER_KEY is None:
         raise RuntimeError("no server key set; call set_server_key(server_key)")
     return _SERVER_KEY.inner
+
+
+class SquashedNoiseFheUint:
+    """Noise-squashed (u128) integer awaiting threshold decryption
+    (high_level_api squashed_noise types)."""
+
+    def __init__(self, squashed, num_bits: int, message_modulus: int):
+        self.squashed = squashed  # shortint SquashedNoiseCiphertext, batched
+        self.num_bits = num_bits
+        self.message_modulus = message_modulus
+
+    def decrypt(self, client_key: "ClientKey") -> int:
+        priv = client_key.noise_squashing_private_key
+        assert priv is not None, "config lacks noise_squashing_parameters"
+        vals = priv.decrypt(self.squashed)
+        out = 0
+        for digit in reversed(vals):
+            out = out * self.message_modulus + int(digit)
+        return out % (1 << self.num_bits)
+
+
+class CompactPublicKey:
+    """HLAPI compact public key with the casting key into the compute
+    keyset (high_level_api compact lists + keys/public.rs)."""
+
+    def __init__(self, pk, ksk, tag: Tag = None):
+        self.pk = pk
+        self.ksk = ksk
+        self.tag = tag or Tag()
+
+    @classmethod
+    def new(cls, client_key: "ClientKey", server_key: "ServerKey",
+            pke_params, ks_params, seed: int = 0) -> "CompactPublicKey":
+        from ..shortint.compact_public_key import (
+            CompactPrivateKey,
+            CompactPublicKey as ShortintCPK,
+        )
+        from ..shortint.key_switching_key import KeySwitchingKey
+
+        priv = CompactPrivateKey.generate(pke_params, seed=seed)
+        pk = ShortintCPK.generate(priv)
+        ksk = KeySwitchingKey.generate(
+            priv, client_key.inner.key, server_key.inner.key, ks_params
+        )
+        return cls(pk, ksk, tag=client_key.tag)
+
+    def encrypt_radix(self, value: int, ty) -> "object":
+        """Encrypt a clear integer into ``ty`` (an FheUintN class) through
+        the compact-PK path: compact list -> expand -> cast blockwise."""
+        sk = _sk()
+        nb = ty.num_blocks(sk.params)
+        mm = sk.params.message_modulus
+        digits = []
+        v = int(value)
+        for _ in range(nb):
+            digits.append(v % mm)
+            v //= mm
+        clist = self.pk.encrypt(np.array(digits, dtype=np.uint64))
+        expanded = clist.expand_to_shortint()
+        casted = self.ksk.cast(expanded)
+        rad = RadixCiphertext(
+            ct=casted.ct,
+            degrees=np.full(nb, mm - 1, dtype=np.int64),
+            noise_levels=np.ones(nb, dtype=np.int64),
+            message_modulus=mm,
+            carry_modulus=sk.params.carry_modulus,
+        )
+        return ty(rad)
+
+
+def _wrap_radix(radix_ct):
+    """Wrap a raw RadixCiphertext in the FheUintN type matching its width
+    (used by the C API's deserialize path)."""
+    import math as _math
+
+    bits_per_block = int(_math.log2(radix_ct.message_modulus))
+    width = radix_ct.num_blocks * bits_per_block
+    ty = _UNSIGNED_TYPES.get(width)
+    if ty is None:
+        raise ValueError(f"no FheUint type for width {width}")
+    return ty(radix_ct)
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +454,27 @@ class _FheIntegerBase:
         if self.SIGNED:
             return self._wrap(_sk().arithmetic_right_shift(self.ct, int(other)))
         return self._wrap(_sk().scalar_right_shift(self.ct, int(other)))
+
+    def squash_noise(self) -> "SquashedNoiseFheUint":
+        """Re-encrypt with the 128-bit PBS for threshold decryption
+        (high_level_api squash_noise; shortint/noise_squashing/)."""
+        global _SERVER_KEY
+        nsk = _SERVER_KEY.noise_squashing_key if _SERVER_KEY else None
+        assert nsk is not None, "server key lacks a noise squashing key"
+        sk = _sk()
+        clean = sk._clean(self.ct)
+        from ..shortint.ciphertext import ShortintCiphertext
+
+        blocks = ShortintCiphertext(
+            ct=clean.ct, degree=int(np.max(clean.degrees)),
+            noise_level=int(np.max(clean.noise_levels)),
+            message_modulus=clean.message_modulus,
+            carry_modulus=clean.carry_modulus,
+        )
+        squashed = nsk.squash_ciphertext_noise(sk.key, blocks)
+        return SquashedNoiseFheUint(
+            squashed, self.NUM_BITS, clean.message_modulus
+        )
 
     def rotate_left(self, amount: int):
         return self._wrap(_sk().scalar_rotate_left(self.ct, int(amount)))
