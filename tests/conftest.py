@@ -10,10 +10,14 @@ compiles — this box has one CPU core and XLA compile times dominate.
 import os
 import sys
 
-# NOTE: on this image the axon TPU plugin ignores JAX_PLATFORMS;
-# JAX_PLATFORM_NAME does force the CPU backend.
+# The axon plugin (imported by sitecustomize at interpreter startup) reads
+# the environment at import time, so env assignments here are too late to
+# stop its registration — but backend SELECTION honors jax.config, so
+# forcing jax_platforms below pins the suite to CPU. Without this the whole
+# suite silently routes through the TPU tunnel (remote compiles, ~20x
+# slower, and toy-parameter kernels hit real-hardware Mosaic limits).
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,5 +25,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # single-core box; cache them across runs.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

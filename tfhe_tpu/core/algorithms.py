@@ -84,6 +84,49 @@ def lwe_encrypt(
     return np.concatenate([masks, body[:, None]], axis=1)
 
 
+def lwe_encrypt32(
+    sk: LweSecretKey,
+    plaintexts: np.ndarray,
+    noise: DynamicDistribution,
+    gen: EncryptionRandomGenerator,
+) -> np.ndarray:
+    """LWE encryption over the u32 torus (the KS32 pattern's post-keyswitch
+    modulus). Returns u64[m, n+1] holding u32 values."""
+    m32 = _U64(0xFFFFFFFF)
+    pts = np.atleast_1d(np.asarray(plaintexts, dtype=_U64)) & m32
+    m = pts.shape[0]
+    n = sk.dim
+    masks = gen.mask.uniform_u64(m * n).reshape(m, n) & m32
+    es = gen.sample_noise32(noise, m)
+    with np.errstate(over="ignore"):
+        dot = np.sum(masks * sk.bits[None, :], axis=1, dtype=_U64)
+        body = (dot + pts + es) & m32
+    return np.concatenate([masks, body[:, None]], axis=1)
+
+
+def gen_keyswitch_key32(
+    in_sk: LweSecretKey,
+    out_sk: LweSecretKey,
+    base_log: int,
+    levels: int,
+    noise: DynamicDistribution,
+    gen: EncryptionRandomGenerator,
+) -> LweKeyswitchKey:
+    """KS32 keyswitch key: encrypts the big key's bits over the u32 torus
+    (shortint/atomic_pattern/ks32.rs keygen; summands value << (32 - b*l))."""
+    n_in = in_sk.dim
+    data = np.zeros((n_in, levels, out_sk.dim + 1), dtype=_U64)
+    with np.errstate(over="ignore"):
+        for i in range(n_in):
+            pts = np.zeros(levels, dtype=_U64)
+            for j in range(levels):
+                level = levels - j
+                shift = np.uint64(32 - base_log * level)
+                pts[j] = (_U64(in_sk.bits[i]) << shift) & _U64(0xFFFFFFFF)
+            data[i] = lwe_encrypt32(out_sk, pts, noise, gen)
+    return LweKeyswitchKey(data, base_log, levels)
+
+
 def lwe_decrypt(sk: LweSecretKey, cts: np.ndarray) -> np.ndarray:
     """Raw plaintexts (noise included): b - <a, s> (lwe_encryption.rs:519)."""
     cts = np.atleast_2d(np.asarray(cts, dtype=_U64))

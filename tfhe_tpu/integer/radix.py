@@ -137,7 +137,10 @@ class ClientKey:
         return out
 
 
-class ServerKey:
+from .ops_extra import RadixExtraOps
+
+
+class ServerKey(RadixExtraOps):
     """Reference ``integer::ServerKey`` — radix ops over the shortint key.
 
     Every op keeps carries clean on output ("default" op semantics of the
@@ -321,9 +324,13 @@ class ServerKey:
 
     # -- multiplication ---------------------------------------------------------
     def mul(self, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertext:
-        """Schoolbook block products + radix sums (reference mul.rs:455-640
-        computes block products via bivariate PBS then sums the shifted
-        partial products). Round-1: sequential sum with propagation."""
+        """Partial-product matrix (2 batched PBS) + log-depth compressor sum
+        (reference mul.rs:455-640); see ops_extra.mul_parallelized."""
+        return self.mul_parallelized(a, b)
+
+    def mul_sequential(self, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertext:
+        """Round-1 sequential schoolbook fallback (kept as an oracle for the
+        parallel path)."""
         import jax.numpy as jnp
 
         mm = self.params.message_modulus

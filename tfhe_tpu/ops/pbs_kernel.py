@@ -874,11 +874,13 @@ def blind_rotate_pallas(
     R = bsk_scan.shape[4]
     n = bsk_scan.shape[5]
     B = lut.shape[0]
-    # NTT small-stage strategy: 'v2' = transposed sublane slices,
-    # 'v1' = lane rolls; overridable for A/B benchmarking
-    variant = os.environ.get("TFHE_NTT_VARIANT", "v2")
+    # NTT small-stage strategy: 'v3' (default) = int8 MXU matmuls,
+    # 'v2' = transposed sublane slices, 'v1' = lane rolls
+    variant = os.environ.get("TFHE_NTT_VARIANT", "v3")
     use_v2 = variant != "v1" and n >= 256 and n % 128 == 0
-    use_mxu = variant == "v3" and n >= 256 and n % 128 == 0
+    # Mosaic rejects the (Bt, n)->(Bt*n/128, 128) relayout for small n
+    # ("unsupported shape cast"); the MXU variant is for production sizes
+    use_mxu = variant == "v3" and n >= 2048 and n % 128 == 0
     unroll = int(os.environ.get("TFHE_UNROLL", unroll))
     batch_tile = int(os.environ.get("TFHE_BATCH_TILE", batch_tile))
 

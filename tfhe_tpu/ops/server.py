@@ -156,13 +156,81 @@ def keyswitch_mxu(
 
 
 # ---------------------------------------------------------------------------
+# keyswitch with scalar change (u64 -> u32): the KS32 atomic pattern
+# ---------------------------------------------------------------------------
+
+def ksk32_to_i8_limbs(ksk32: "np.ndarray", base_log: int) -> "np.ndarray":
+    """KSK with u32 entries in signed base-256 limb form:
+    u64[n_in, l, n_out+1] (values < 2^32) -> int8[n_in*l, (n_out+1)*4]."""
+    import numpy as np
+
+    assert base_log <= 7, "balanced digits must fit int8 for the MXU keyswitch"
+    v = (np.asarray(ksk32, dtype=np.uint64) & np.uint64(0xFFFFFFFF)).copy()
+    limbs = np.empty(v.shape + (4,), dtype=np.int8)
+    for k in range(4):
+        r = (v & np.uint64(0xFF)).astype(np.int64)
+        r = np.where(r > 127, r - 256, r)
+        limbs[..., k] = r.astype(np.int8)
+        v = (v - r.astype(np.uint64)) >> np.uint64(8)
+    n_in, l, o = ksk32.shape
+    return limbs.reshape(n_in * l, o * 4)
+
+
+def keyswitch_mxu32(
+    ct: jnp.ndarray,
+    ksk_i8: jnp.ndarray,
+    base_log: int,
+    levels: int,
+) -> jnp.ndarray:
+    """u64 -> u32 LWE keyswitch as one int8 MXU matmul
+    (lwe_keyswitch.rs:331 keyswitch_lwe_ciphertext_with_scalar_change).
+
+    The input mask decomposes with the u64 decomposer; the MAC runs against
+    u32 KSK limbs and the output wraps mod 2^32. The body rounds to the
+    closest multiple of 2^32 then downshifts. Returns u64[..., n_out+1]
+    holding u32 values.
+    """
+    K, O4 = ksk_i8.shape
+    n_in = K // levels
+    n_out = O4 // 4 - 1
+    a = ct[..., :n_in]
+    b = ct[..., n_in]
+    batch = ct.shape[:-1]
+
+    digits = decompose(a, base_log, levels)
+    d8 = digits.astype(jnp.int8).reshape((-1, K))
+    B = d8.shape[0]
+    pad = (-B) % 8
+    if pad:
+        d8 = jnp.concatenate([d8, jnp.zeros((pad, K), dtype=jnp.int8)], 0)
+    sums = jnp.dot(d8, ksk_i8, preferred_element_type=jnp.int32)
+    if pad:
+        sums = sums[:B]
+    sums = sums.reshape(batch + (n_out + 1, 4))
+    w = jnp.asarray([1 << (8 * k) for k in range(4)], dtype=jnp.int64)
+    total = jnp.sum(sums.astype(jnp.int64) * w, axis=-1).astype(jnp.uint64)
+    # body: closest multiple of 2^32, downscaled (round-half-up)
+    b32 = (b + jnp.uint64(1 << 31)) >> jnp.uint64(32)
+    out = jnp.zeros_like(total)
+    out = out.at[..., n_out].set(b32)
+    return (out - total) & jnp.uint64(0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
 # modulus switch
 # ---------------------------------------------------------------------------
 
-def modulus_switch(x: jnp.ndarray, log_modulus: int) -> jnp.ndarray:
-    """Round to the nearest multiple of 2^64 / 2^log_modulus; returns the
-    switched value in [0, 2^log_modulus) as uint64 (fft_impl/common.rs:10)."""
+def modulus_switch(x: jnp.ndarray, log_modulus: int, torus_bits: int = 64) -> jnp.ndarray:
+    """Round to the nearest multiple of 2^torus_bits / 2^log_modulus;
+    returns the switched value in [0, 2^log_modulus) as uint64
+    (fft_impl/common.rs:10). ``torus_bits`` = 32 covers the KS32 atomic
+    pattern's post-keyswitch u32 modulus (atomic_pattern/ks32.rs)."""
     x = x.astype(_U64)
+    if torus_bits < 64:
+        x = x & jnp.uint64((1 << torus_bits) - 1)
+        half = jnp.uint64(1 << (torus_bits - log_modulus - 1))
+        out = (x + half) >> jnp.uint64(torus_bits - log_modulus)
+        return out & jnp.uint64((1 << log_modulus) - 1)
     half = jnp.uint64(1) << jnp.uint64(64 - log_modulus - 1)
     return (x + half) >> jnp.uint64(64 - log_modulus)
 
@@ -172,40 +240,56 @@ def _trunc_div2_i64(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x < 0, -((-x) >> 1), x >> 1)
 
 
-def centered_binary_ms_body_correction(mask: jnp.ndarray, log_modulus: int) -> jnp.ndarray:
+def centered_binary_ms_body_correction(
+    mask: jnp.ndarray, log_modulus: int, torus_bits: int = 64
+) -> jnp.ndarray:
     """Correction to add to the body before a centered-binary modulus switch
     (the CenteredMeanNoiseReduction default, algorithms/modulus_switch.rs:57).
 
     ``mask``: u64[..., n] -> u64[...] correction.
     """
-    shift = jnp.uint64(64 - log_modulus)
-    rounded = modulus_switch(mask, log_modulus) << shift
-    err = (rounded - mask).astype(jnp.int64)  # signed rounding error
+    shift = jnp.uint64(torus_bits - log_modulus)
+    rounded = modulus_switch(mask, log_modulus, torus_bits) << shift
+    if torus_bits < 64:
+        masked = mask & jnp.uint64((1 << torus_bits) - 1)
+        err = rounded.astype(jnp.int64) - masked.astype(jnp.int64)
+        # sign-extend the torus_bits-wide wrapping difference
+        tb = jnp.int64(1 << (torus_bits - 1))
+        err = ((err + tb) & jnp.int64((1 << torus_bits) - 1)) - tb
+    else:
+        err = (rounded - mask).astype(jnp.int64)  # signed rounding error
     half_err = _trunc_div2_i64(err)
     halving_err_doubled = 2 * half_err - err  # in {-1, 0, 1}
     sum_half = jnp.sum(half_err.astype(_U64), axis=-1)
     sum_halving = jnp.sum(halving_err_doubled, axis=-1)
     sum_halving_half = _trunc_div2_i64(sum_halving).astype(_U64)
     sum_half = sum_half - sum_halving_half
-    half_case = jnp.uint64(1) << jnp.uint64(64 - log_modulus - 1)
+    half_case = jnp.uint64(1 << (torus_bits - log_modulus - 1))
     return sum_half - half_case
 
 
-def lwe_centered_binary_modulus_switch(ct: jnp.ndarray, log_modulus: int):
+def lwe_centered_binary_modulus_switch(
+    ct: jnp.ndarray, log_modulus: int, torus_bits: int = 64
+):
     """Returns (switched_mask, switched_body) as uint64 in [0, 2^log_modulus),
     with the centered-binary body correction applied pre-switch."""
     n = ct.shape[-1] - 1
     mask = ct[..., :n]
     body = ct[..., n]
-    corr = centered_binary_ms_body_correction(mask, log_modulus)
-    return modulus_switch(mask, log_modulus), modulus_switch(body + corr, log_modulus)
+    corr = centered_binary_ms_body_correction(mask, log_modulus, torus_bits)
+    return (
+        modulus_switch(mask, log_modulus, torus_bits),
+        modulus_switch(body + corr, log_modulus, torus_bits),
+    )
 
 
-def lwe_standard_modulus_switch(ct: jnp.ndarray, log_modulus: int):
+def lwe_standard_modulus_switch(
+    ct: jnp.ndarray, log_modulus: int, torus_bits: int = 64
+):
     n = ct.shape[-1] - 1
     return (
-        modulus_switch(ct[..., :n], log_modulus),
-        modulus_switch(ct[..., n], log_modulus),
+        modulus_switch(ct[..., :n], log_modulus, torus_bits),
+        modulus_switch(ct[..., n], log_modulus, torus_bits),
     )
 
 
@@ -343,21 +427,25 @@ def programmable_bootstrap_pallas(
     centered_ms: bool = True,
     extract_nth: int = 0,
     batch_tile: int = 8,
+    input_torus_bits: int = 64,
 ) -> jnp.ndarray:
     """Classic PBS on the fused Pallas blind-rotation kernel (TPU hot path).
 
     Same contract as :func:`programmable_bootstrap` but takes the bootstrap
     key in scan layout (``pbs_kernel.bsk_to_scan_layout``). Arbitrary leading
     batch dims; the batch is padded up to a multiple of ``batch_tile``.
+    ``input_torus_bits`` = 32 for the KS32 atomic pattern.
     """
     from . import pbs_kernel as pk
 
     N = plan.n
     log_modulus = N.bit_length()
     if centered_ms:
-        ms_mask, ms_body = lwe_centered_binary_modulus_switch(ct_in, log_modulus)
+        ms_mask, ms_body = lwe_centered_binary_modulus_switch(
+            ct_in, log_modulus, input_torus_bits)
     else:
-        ms_mask, ms_body = lwe_standard_modulus_switch(ct_in, log_modulus)
+        ms_mask, ms_body = lwe_standard_modulus_switch(
+            ct_in, log_modulus, input_torus_bits)
 
     batch = ct_in.shape[:-1]
     n_small = ct_in.shape[-1] - 1
@@ -394,6 +482,7 @@ def programmable_bootstrap(
     plan: ntt_mod.NegacyclicNtt,
     centered_ms: bool = True,
     extract_nth: int = 0,
+    input_torus_bits: int = 64,
 ) -> jnp.ndarray:
     """Classic PBS: modulus switch -> blind rotate -> sample extract.
 
@@ -406,9 +495,11 @@ def programmable_bootstrap(
     N = plan.n
     log_modulus = N.bit_length()  # log2(2N)
     if centered_ms:
-        ms_mask, ms_body = lwe_centered_binary_modulus_switch(ct_in, log_modulus)
+        ms_mask, ms_body = lwe_centered_binary_modulus_switch(
+            ct_in, log_modulus, input_torus_bits)
     else:
-        ms_mask, ms_body = lwe_standard_modulus_switch(ct_in, log_modulus)
+        ms_mask, ms_body = lwe_standard_modulus_switch(
+            ct_in, log_modulus, input_torus_bits)
     batch = ct_in.shape[:-1]
     lut = jnp.broadcast_to(lut, batch + lut.shape[-2:])
     rotated = blind_rotate(lut, ms_mask, ms_body, bsk_hat, base_log, levels, plan)

@@ -39,8 +39,14 @@ def use_pallas_default() -> bool:
 
 
 def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
-                   poly_size, num_primes, centered_ms, use_pallas, grouping=0):
-    """One compiled KS->PBS pipeline per parameter signature.
+                   poly_size, num_primes, centered_ms, use_pallas, grouping=0,
+                   ks32=False, order="ks_pbs"):
+    """One compiled atomic-pattern pipeline per parameter signature.
+
+    ``order``: 'ks_pbs' (standard KS->PBS), 'pbs_ks' (small-key ciphertexts,
+    atomic_pattern/standard.rs:155-190 BootstrapKeyswitch order). ``ks32``:
+    the keyswitch lands on a u32 modulus and the PBS mod-switches from 32
+    bits (atomic_pattern/ks32.rs).
 
     The keyswitch is always the int8-MXU matmul path; the PBS dispatches to
     the fused Pallas blind-rotation kernel on TPU or the jnp path on CPU.
@@ -49,10 +55,12 @@ def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_leve
     import jax.numpy as jnp
 
     sig = (key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
-           poly_size, num_primes, centered_ms, use_pallas, grouping)
+           poly_size, num_primes, centered_ms, use_pallas, grouping, ks32,
+           order)
     if sig in _jitted_ks_pbs_cache:
         return _jitted_ks_pbs_cache[sig]
     plan = ntt_mod.get_plan(poly_size, num_primes)
+    in_bits = 32 if ks32 else 64
 
     if grouping:
         def _pbs(ct_small, lut_acc, bsk):
@@ -64,7 +72,7 @@ def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_leve
         def _pbs(ct_small, lut_acc, bsk):
             return server_ops.programmable_bootstrap_pallas(
                 ct_small, lut_acc, bsk, pbs_base_log, pbs_levels, plan,
-                centered_ms=centered_ms,
+                centered_ms=centered_ms, input_torus_bits=in_bits,
             )
     else:
         def _pbs(ct_small, lut_acc, bsk):
@@ -73,12 +81,24 @@ def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_leve
             return server_ops.programmable_bootstrap(
                 ct_small, lut_acc, scan_to_legacy_layout(bsk, pbs_levels),
                 pbs_base_log, pbs_levels, plan, centered_ms=centered_ms,
+                input_torus_bits=in_bits,
             )
 
-    @jax.jit
-    def ks_pbs(ct, lut_acc, ksk_i8, bsk):
-        small = server_ops.keyswitch_mxu(ct, ksk_i8, ks_base_log, ks_levels)
-        return _pbs(small, lut_acc, bsk)
+    def _ks(ct, ksk_i8):
+        if ks32:
+            return server_ops.keyswitch_mxu32(ct, ksk_i8, ks_base_log, ks_levels)
+        return server_ops.keyswitch_mxu(ct, ksk_i8, ks_base_log, ks_levels)
+
+    if order == "pbs_ks":
+        @jax.jit
+        def ks_pbs(ct, lut_acc, ksk_i8, bsk):
+            big = _pbs(ct, lut_acc, bsk)
+            return _ks(big, ksk_i8)
+    else:
+        @jax.jit
+        def ks_pbs(ct, lut_acc, ksk_i8, bsk):
+            small = _ks(ct, ksk_i8)
+            return _pbs(small, lut_acc, bsk)
 
     @jax.jit
     def pbs_only(ct_small, lut_acc, bsk):
@@ -86,7 +106,7 @@ def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_leve
 
     @jax.jit
     def ks_only(ct, ksk_i8):
-        return server_ops.keyswitch_mxu(ct, ksk_i8, ks_base_log, ks_levels)
+        return _ks(ct, ksk_i8)
 
     fns = (ks_pbs, pbs_only, ks_only)
     _jitted_ks_pbs_cache[sig] = fns
@@ -133,14 +153,20 @@ class ServerKey:
                 p.glwe_noise_distribution,
                 gen,
             )
-        ksk = algo.gen_keyswitch_key(
-            client_key.big_lwe_sk,
-            client_key.lwe_sk,
-            p.ks_base_log,
-            p.ks_level,
-            p.lwe_noise_distribution,
-            gen,
-        )
+        if cls._is_ks32(p):
+            ksk = algo.gen_keyswitch_key32(
+                client_key.big_lwe_sk, client_key.lwe_sk, p.ks_base_log,
+                p.ks_level, p.lwe_noise_distribution, gen,
+            )
+        else:
+            ksk = algo.gen_keyswitch_key(
+                client_key.big_lwe_sk,
+                client_key.lwe_sk,
+                p.ks_base_log,
+                p.ks_level,
+                p.lwe_noise_distribution,
+                gen,
+            )
         num_primes = cls._num_primes_for(p)
         bsk_hat = algo.bootstrap_key_to_ntt(bsk, num_primes)
         max_degree = p.message_modulus * p.carry_modulus - 1
@@ -151,14 +177,25 @@ class ServerKey:
             bsk_stored = bsk_hat.residues
         else:
             bsk_stored = bsk_to_scan_layout(bsk_hat.residues)
+        if cls._is_ks32(p):
+            ksk_i8 = server_ops.ksk32_to_i8_limbs(ksk.data, p.ks_base_log)
+        else:
+            ksk_i8 = server_ops.ksk_to_i8_limbs(ksk.data, p.ks_base_log)
         return cls(
             params=p,
             ksk=jnp.asarray(ksk.data),
-            ksk_i8=jnp.asarray(server_ops.ksk_to_i8_limbs(ksk.data, p.ks_base_log)),
+            ksk_i8=jnp.asarray(ksk_i8),
             bsk_scan=bsk_stored,
             num_primes=num_primes,
             max_degree=max_degree,
         )
+
+    @staticmethod
+    def _is_ks32(p) -> bool:
+        """KS32 atomic pattern: post-keyswitch ciphertexts live on a u32
+        modulus (KeySwitch32PBSParameters, atomic_pattern/ks32.rs)."""
+        mod = getattr(p, "post_keyswitch_ciphertext_modulus", None)
+        return mod is not None and mod.bits == 32
 
     @staticmethod
     def _num_primes_for(p: ClassicPBSParameters) -> int:
@@ -180,6 +217,16 @@ class ServerKey:
         return ntt_mod.get_plan(self.params.polynomial_size, self.num_primes)
 
     @property
+    def _ap_order(self) -> str:
+        """'ks_pbs' for big-key ciphertexts, 'pbs_ks' for small-key
+        (EncryptionKeyChoice, atomic_pattern/standard.rs:155-190)."""
+        return (
+            "pbs_ks"
+            if self.params.encryption_key_choice == EncryptionKeyChoice.SMALL
+            else "ks_pbs"
+        )
+
+    @property
     def _fns(self):
         p = self.params
         return _get_ks_pbs_fn(
@@ -189,6 +236,8 @@ class ServerKey:
             p.modulus_switch_type == ModulusSwitchType.CENTERED_MEAN_NOISE_REDUCTION,
             use_pallas_default(),
             grouping=getattr(p, "grouping_factor", 0) or 0,
+            ks32=self._is_ks32(p),
+            order=self._ap_order,
         )
 
     @property
@@ -341,7 +390,11 @@ class ServerKey:
     # the atomic pattern
     # ------------------------------------------------------------------
     def apply_lookup_table(self, ct: ShortintCiphertext, lut: LookupTable) -> ShortintCiphertext:
-        assert ct.under_key == "big", "KS->PBS pattern expects big-key input"
+        order = self._ap_order
+        expect = "big" if order == "ks_pbs" else "small"
+        assert ct.under_key == expect, (
+            f"{order} pattern expects {expect}-key input, got {ct.under_key}"
+        )
         ks_pbs, _, _ = self._fns
         out = ks_pbs(ct.ct, lut.acc, self.ksk_i8, self.bsk_scan)
         return ShortintCiphertext(
@@ -350,7 +403,7 @@ class ServerKey:
             noise_level=NOMINAL_NOISE,
             message_modulus=ct.message_modulus,
             carry_modulus=ct.carry_modulus,
-            under_key="big",
+            under_key=expect,
         )
 
     def keyswitch(self, ct: ShortintCiphertext) -> ShortintCiphertext:

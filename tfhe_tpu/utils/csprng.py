@@ -288,3 +288,14 @@ class EncryptionRandomGenerator:
         if dist.kind == "gaussian":
             return self.noise.gaussian_torus_u64(n, dist.std_dev)
         return self.noise.t_uniform_torus_u64(n, dist.bound_log2)
+
+    def sample_noise32(self, dist, n: int) -> np.ndarray:
+        """Noise over the u32 torus (KS32 pattern): gaussian scales the
+        fractional part by 2^32; t-uniform bounds are absolute."""
+        if dist.kind == "gaussian":
+            pairs = self.noise.gaussian_pairs_f64((n + 1) // 2, dist.std_dev)[:n]
+            frac = pairs - np.round(pairs)
+            v = np.round(frac * 2.0 ** 32).astype(np.int64)
+            return (v.astype(np.uint64)) & np.uint64(0xFFFFFFFF)
+        v = self.noise.t_uniform_torus_u64(n, dist.bound_log2)
+        return v & np.uint64(0xFFFFFFFF)

@@ -451,6 +451,42 @@ PARAM_TEST_TOY = ClassicPBSParameters(
     name="PARAM_TEST_TOY",
 )
 
+# Toy variants of the two non-default atomic patterns (insecure, CI only)
+PARAM_TEST_TOY_PBS_KS = ClassicPBSParameters(
+    lwe_dimension=16,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_noise_distribution=_G(2.0 ** -40),
+    glwe_noise_distribution=_G(2.0 ** -40),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-64.0,
+    encryption_key_choice=EncryptionKeyChoice.SMALL,
+    name="PARAM_TEST_TOY_PBS_KS",
+)
+
+PARAM_TEST_TOY_KS32 = KeySwitch32PBSParameters(
+    lwe_dimension=16,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_noise_distribution=_T(3),
+    glwe_noise_distribution=_G(2.0 ** -40),
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+    message_modulus=4,
+    carry_modulus=4,
+    max_noise_level=5,
+    log2_p_fail=-64.0,
+    name="PARAM_TEST_TOY_KS32",
+)
+
 # Small, *insecure* noise-squashing parameters for fast CI tests (the real
 # sets live in params_registry, e.g.
 # NOISE_SQUASHING_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128).
