@@ -99,6 +99,10 @@ class WopbsKey:
 
     server_key: ServerKey
     pfpksk: np.ndarray  # [k+1, n_in+1, l_pf, k+1, N]
+    wopbs_bsk_hat: Any  # dedicated high-precision BSK (legacy layout)
+    wopbs_pbs_base_log: int
+    wopbs_pbs_levels: int
+    wopbs_num_primes: int
     cbs_base_log: int
     cbs_levels: int
     pf_base_log: int
@@ -113,7 +117,15 @@ class WopbsKey:
         cbs_levels: int = 4,
         pf_base_log: int = 8,
         pf_levels: int = 5,
+        wopbs_pbs_base_log: int = 4,
+        wopbs_pbs_levels: int = 8,
     ) -> "WopbsKey":
+        """The wopbs keyset carries its OWN bootstrap key with a deeper
+        decomposition than the compute keyset (reference WopbsKey holds a
+        wopbs_server_key generated under WopbsParameters): circuit
+        bootstrapping needs the PBS output accurate to the smallest GGSW
+        factor 2^(64 - cbs_base_log*cbs_levels), far below what the compute
+        BSK's shallow decomposition can deliver."""
         p = client_key.params
         pfpksk = gen_cbs_pfpksk_list(
             client_key.big_lwe_sk,
@@ -123,9 +135,27 @@ class WopbsKey:
             p.glwe_noise_distribution,
             client_key._keygen_gen,
         )
+        bsk = algo.gen_bootstrap_key(
+            client_key.lwe_sk,
+            client_key.glwe_sk,
+            wopbs_pbs_base_log,
+            wopbs_pbs_levels,
+            p.glwe_noise_distribution,
+            client_key._keygen_gen,
+        )
+        bound = ntt_mod.polymul_bound_bits(
+            wopbs_pbs_base_log, p.polynomial_size,
+            num_sums=wopbs_pbs_levels * p.glwe_size,
+        )
+        num_primes = ntt_mod.min_primes_for_bound(bound)
+        bsk_hat = algo.bootstrap_key_to_ntt(bsk, num_primes)
         return cls(
             server_key=server_key,
             pfpksk=pfpksk,
+            wopbs_bsk_hat=bsk_hat.residues,
+            wopbs_pbs_base_log=wopbs_pbs_base_log,
+            wopbs_pbs_levels=wopbs_pbs_levels,
+            wopbs_num_primes=num_primes,
             cbs_base_log=cbs_base_log,
             cbs_levels=cbs_levels,
             pf_base_log=pf_base_log,
@@ -144,15 +174,14 @@ class WopbsKey:
         R = p.glwe_size
         acc = np.zeros((R, N), dtype=_U64)
         acc[-1, :] = _U64(acc_body_const % (1 << 64))
-        from ..ops.pbs_kernel import scan_to_legacy_layout
-
+        plan = ntt_mod.get_plan(N, self.wopbs_num_primes)
         return server_ops.programmable_bootstrap(
             jnp.asarray(lwe_small)[None],
             jnp.asarray(acc),
-            scan_to_legacy_layout(sk.bsk_scan, p.pbs_level),
-            p.pbs_base_log,
-            p.pbs_level,
-            sk._plan,
+            self.wopbs_bsk_hat,
+            self.wopbs_pbs_base_log,
+            self.wopbs_pbs_levels,
+            plan,
             centered_ms=False,
         )[0]
 
