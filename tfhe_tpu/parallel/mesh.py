@@ -18,6 +18,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: a pod-slice run is a config change, not new
+    code. Call once per process before building meshes; afterwards
+    ``jax.devices()`` spans every host and :func:`make_batch_mesh` shards
+    the ciphertext batch over ICI+DCN exactly as it does over one host
+    (keys replicated, no cross-device collectives in the PBS itself)."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_batch_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
