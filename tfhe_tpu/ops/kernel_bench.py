@@ -41,7 +41,7 @@ from . import pbs_kernel as pk
 VPU_PEAK = 7.1e12  # elementary ops/s (v5e estimate, 4 ALUs)
 MXU_INT8_PEAK = 394e12  # int8 MAC/s (v5e)
 
-_LOOPS_LO, _LOOPS_HI = 64, 2048
+_LOOPS_LO, _LOOPS_HI = 2048, 65536
 
 
 def _time_fn(fn, *args, iters: int = 5) -> float:
@@ -121,7 +121,7 @@ def bench_ntt(n: int = 2048, num_primes: int = 4, bt: int = 8,
     }
 
 
-def bench_pointwise_mac(n: int = 2048, bt: int = 8, terms: int = 2) -> dict:
+def bench_pointwise_mac(n: int = 2048, bt: int = 64, terms: int = 2) -> dict:
     """Shoup MAC: acc += d * g for ``terms`` GGSW rows, one prime."""
     p = np.uint32(ntt_mod.PRIMES32[0])
     p2 = np.uint32(2 * ntt_mod.PRIMES32[0])
@@ -183,7 +183,7 @@ def bench_rotate(n: int = 2048, bt: int = 8) -> dict:
     }
 
 
-def bench_decompose(n: int = 2048, bt: int = 8, base_log: int = 23,
+def bench_decompose(n: int = 2048, bt: int = 64, base_log: int = 23,
                     levels: int = 1) -> dict:
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.integers(0, 1 << 32, size=(2, bt, n), dtype=np.uint32))
@@ -209,7 +209,7 @@ def bench_decompose(n: int = 2048, bt: int = 8, base_log: int = 23,
 
 
 def bench_step(params=None, batch: int = 256, lo_steps: int = 8,
-               hi_steps: int = 72) -> dict:
+               hi_steps: int = 300) -> dict:
     """The fused classic blind-rotation step at production shape: per
     (ciphertext x step) seconds via two scan lengths (overheads cancel)."""
     from ..utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS
@@ -259,8 +259,8 @@ def bench_step(params=None, batch: int = 256, lo_steps: int = 8,
     }
 
 
-def bench_keyswitch(params=None, batch: int = 1024, lo: int = 2,
-                    hi: int = 18) -> dict:
+def bench_keyswitch(params=None, batch: int = 4096, lo: int = 2,
+                    hi: int = 66) -> dict:
     from ..ops.server import keyswitch_mxu, ksk_to_i8_limbs
     from ..utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS
 
