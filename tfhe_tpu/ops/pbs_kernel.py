@@ -487,6 +487,66 @@ def _inv_ntt_v3(yb, pi, tabs_c, p, p2, log_n, w8i_ref, bt, n):
     return _condsub(x, p)
 
 
+def _inv_ntt_v3b(yb, pi, tabs_c, p, p2, log_n, w8i_ref, bt, n):
+    """Inverse NTT, MXU variant with the big stages in 3-D block layout:
+    the matmul output stays as [Bt, N/128, 128] and the h >= 128 butterflies
+    slice the middle (group) axis, so the block->flat relayout happens once
+    at the very end instead of between the matmul and the stages."""
+    yb = _condsub(yb, p)
+    z = _mxu_small_dft(yb, pi, w8i_ref, tabs_c["mxu_consts"][pi], p)  # < 2p
+    g = n // 128
+    y3 = z.reshape(bt, g, 128)
+    for s in reversed(range(tabs_c["first_small"])):
+        h = (n >> s) >> 1
+        hg = h // 128
+        w3 = tabs_c["tw_inv"][pi, s].reshape(g, 128)
+        ws3 = tabs_c["tw_inv_sh"][pi, s].reshape(g, 128)
+        pieces = []
+        for b in range(g // (2 * hg)):
+            u = y3[:, b * 2 * hg : b * 2 * hg + hg, :]
+            v = y3[:, b * 2 * hg + hg : (b + 1) * 2 * hg, :]
+            w = w3[b * 2 * hg + hg : (b + 1) * 2 * hg][None]
+            ws = ws3[b * 2 * hg + hg : (b + 1) * 2 * hg][None]
+            bw = _shoup(v, w, ws, p)
+            pieces.append(_condsub(u + bw, p2))
+            pieces.append(_condsub(u + p2 - bw, p2))
+        y3 = jnp.concatenate(pieces, axis=1)
+    utw = tabs_c["untwist"][pi].reshape(1, g, 128)
+    utws = tabs_c["untwist_sh"][pi].reshape(1, g, 128)
+    y3 = _shoup(y3, utw, utws, p)
+    return _condsub(y3, p).reshape(bt, n)
+
+
+def _fwd_ntt_v3b(x, pi, tabs_c, p, p2, log_n, w8_ref):
+    """Forward NTT, MXU variant with the big stages in 3-D block layout
+    (mirror of :func:`_inv_ntt_v3b`): twist and h >= 128 butterflies act on
+    [Bt, N/128, 128] with group-axis slices, then the limb matmul."""
+    bt, n = x.shape
+    g = n // 128
+    y3 = x.reshape(bt, g, 128)
+    tw = tabs_c["twist"][pi].reshape(1, g, 128)
+    tws = tabs_c["twist_sh"][pi].reshape(1, g, 128)
+    y3 = _shoup(y3, tw, tws, p)
+    for s in range(tabs_c["first_small"]):
+        h = (n >> s) >> 1
+        hg = h // 128
+        w3 = tabs_c["tw_fwd"][pi, s].reshape(g, 128)
+        ws3 = tabs_c["tw_fwd_sh"][pi, s].reshape(g, 128)
+        pieces = []
+        for b in range(g // (2 * hg)):
+            a = y3[:, b * 2 * hg : b * 2 * hg + hg, :]
+            bb = y3[:, b * 2 * hg + hg : (b + 1) * 2 * hg, :]
+            u = _condsub(a + bb, p2)
+            t = a + p2 - bb
+            w = w3[b * 2 * hg + hg : (b + 1) * 2 * hg][None]
+            ws = ws3[b * 2 * hg + hg : (b + 1) * 2 * hg][None]
+            pieces.append(u)
+            pieces.append(_shoup(t, w, ws, p))
+        y3 = jnp.concatenate(pieces, axis=1)
+    y = _condsub(y3, p).reshape(bt * g, 128)
+    return _mxu_small_dft(y, pi, w8_ref, tabs_c["mxu_consts"][pi], p)
+
+
 def _fwd_ntt(x, pi, tabs_c, p, p2, log_n):
     """Forward negacyclic NTT of residues x (< 2p) for prime index pi.
 
@@ -657,7 +717,7 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
                         acc_m = term if acc_m is None else _condsub(acc_m + term, p2)
                 if use_mxu:
                     res_p.append(
-                        _inv_ntt_v3(
+                        _inv_ntt_v3b(
                             acc_m.reshape(bt_loc * (n // 128), 128), pi,
                             tabs_c, p, p2, log_n, w8i_ref, bt_loc, n,
                         )

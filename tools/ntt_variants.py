@@ -172,6 +172,16 @@ run_case("fwd_v3_mxu", fwd_v3, n_loops_lo=16384, n_loops_hi=262144)
 run_case("inv_v3_mxu", inv_v3, n_loops_lo=16384, n_loops_hi=262144)
 
 
+def inv_v3b(x, tc):
+    tc = dict(tc)
+    tc["mxu_consts"] = _MXU_CONSTS
+    yb = x.reshape(BT * (N // 128), 128)
+    return pk._inv_ntt_v3b(yb, 0, tc, p0, p20, log_n, tc["inv_w8"], BT, N)
+
+
+run_case("inv_v3b_block_stages", inv_v3b, n_loops_lo=16384, n_loops_hi=262144)
+
+
 def split_only(x, tc):
     L = pk._split4_i8(x.reshape(BT * (N // 128), 128))
     return (L[:, :128].astype(jnp.int32).astype(jnp.uint32)
