@@ -131,9 +131,14 @@ class ServerKey:
 
     # ------------------------------------------------------------------
     @classmethod
-    def generate(cls, client_key: ClientKey) -> "ServerKey":
+    def generate(cls, client_key: ClientKey, reference_forks: bool = False) -> "ServerKey":
         """BSK (GGSW of each small-key bit under the GLWE key, glwe noise)
-        then KSK (big -> small, lwe noise) — engine/server_side.rs order."""
+        then KSK (big -> small, lwe noise) — engine/server_side.rs order.
+
+        ``reference_forks=True`` draws the BSK with the reference's
+        hierarchical fork layout and sequential rejection sampling
+        (utils/fork_budgets.py) instead of the batched draw — same key
+        quality, reference-compatible stream consumption."""
         import jax.numpy as jnp
 
         p = client_key.params
@@ -143,6 +148,17 @@ class ServerKey:
             bsk = algo.gen_multi_bit_bootstrap_key(
                 client_key.lwe_sk, client_key.glwe_sk, p.pbs_base_log,
                 p.pbs_level, grouping, p.glwe_noise_distribution, gen,
+            )
+        elif reference_forks:
+            from ..utils.fork_budgets import gen_bootstrap_key_reference_forks
+
+            bsk = gen_bootstrap_key_reference_forks(
+                client_key.lwe_sk,
+                client_key.glwe_sk,
+                p.pbs_base_log,
+                p.pbs_level,
+                p.glwe_noise_distribution,
+                gen,
             )
         else:
             bsk = algo.gen_bootstrap_key(
