@@ -1,0 +1,89 @@
+"""ZK pke proof tests: curve sanity plus a prove/verify round trip on a
+reduced-dimension statement (same code path as the reference's
+d=1024/k=320 sizes — tfhe-zk-pok/src/proofs/pke.rs test_pke — but sized
+for pure-Python pairings)."""
+
+import numpy as np
+import pytest
+
+from tfhe_tpu.zk.curve import F12_ONE, G1, G2, R, f12_pow, pairing
+from tfhe_tpu.zk.pke import PkeCrs, prove, verify
+
+_MASK = (1 << 64) - 1
+
+
+def _i64(x):
+    x &= _MASK
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _polymul_rev(a, b, d):
+    """Negacyclic rot(a) . bar(b), wrapping i64 (proofs/mod.rs:476-491)."""
+    c = [0] * d
+    for i in range(d):
+        for j in range(d):
+            p = a[i] * b[d - j - 1]
+            if i + j < d:
+                c[i + j] = _i64(c[i + j] + p)
+            else:
+                c[i + j - d] = _i64(c[i + j - d] - p)
+    return c
+
+
+def _gen_testcase(rng, d, k, B, t, pad):
+    t_eff = t >> pad
+    a = [
+        _i64(int.from_bytes(bytes(rng.integers(0, 256, 8).tolist()), "little"))
+        for _ in range(d)
+    ]
+    s = [int(rng.integers(0, 2)) for _ in range(d)]
+    e = [int(rng.integers(0, 2 * B)) - B for _ in range(d)]
+    e1 = [int(rng.integers(0, 2 * B)) - B for _ in range(d)]
+    e2 = [int(rng.integers(0, 2 * B)) - B for _ in range(k)]
+    r = [int(rng.integers(0, 2)) for _ in range(d)]
+    m = [int(rng.integers(0, t_eff)) for _ in range(k)]
+    b = [_i64(x + ei) for x, ei in zip(_polymul_rev(a, s, d), e)]
+    delta = (1 << 64) // t
+    c1 = [_i64(x + ei) for x, ei in zip(_polymul_rev(a, r, d), e1)]
+    c2 = []
+    for i in range(k):
+        dot = 0
+        for j in range(d):
+            bj = b[d - j - i - 1] if i + j < d else _i64(-b[2 * d - j - i - 1])
+            dot = _i64(dot + r[d - j - 1] * bj)
+        c2.append(_i64(dot + e2[i] + _i64(delta * m[i])))
+    return (a, b, c1, c2), (r, e1, m, e2), (s, m)
+
+
+def test_pairing_bilinear():
+    g1, g2 = G1.generator(), G2.generator()
+    assert g1.in_subgroup() and g2.in_subgroup()
+    e = pairing(g1, g2)
+    assert e != F12_ONE
+    assert f12_pow(e, R) == F12_ONE
+    a, b = 123457, 987653
+    assert pairing(a * g1, b * g2) == f12_pow(e, a * b % R)
+
+
+@pytest.fixture(scope="module")
+def crs():
+    return PkeCrs.generate(d=8, k=1, b=256, q=0, t=32, pad_bits=1, seed=7)
+
+
+def test_pke_prove_verify_roundtrip(crs):
+    rng = np.random.default_rng(3)
+    public, private, _ = _gen_testcase(rng, 8, 1, 256, 32, 1)
+    proof = prove(crs, public, private, metadata=b"meta", seed=b"s")
+    assert verify(proof, crs, public, metadata=b"meta")
+
+
+def test_pke_rejects_tampering(crs):
+    rng = np.random.default_rng(4)
+    public, private, _ = _gen_testcase(rng, 8, 1, 256, 32, 1)
+    proof = prove(crs, public, private, metadata=b"", seed=b"s")
+    # wrong metadata
+    assert not verify(proof, crs, public, metadata=b"x")
+    # tampered ciphertext body
+    a, b, c1, c2 = public
+    bad = (a, b, c1, [_i64(c2[0] + (1 << 59))])
+    assert not verify(proof, crs, bad, metadata=b"")
