@@ -77,6 +77,45 @@ def test_pke_prove_verify_roundtrip(crs):
     assert verify(proof, crs, public, metadata=b"meta")
 
 
+def test_proven_compact_list_roundtrip():
+    """encrypt_and_prove -> verify_and_expand -> decrypt, plus rejection of
+    a tampered body (compact_list.rs verify-and-expand flow)."""
+    from tfhe_tpu.shortint.compact_public_key import (
+        CompactPrivateKey,
+        CompactPublicKey,
+    )
+    from tfhe_tpu.utils.params import (
+        CompactPublicKeyEncryptionParameters,
+        DynamicDistribution,
+    )
+    from tfhe_tpu.zk.proven_list import (
+        ProvenCompactCiphertextList,
+        crs_for_params,
+    )
+
+    P = CompactPublicKeyEncryptionParameters(
+        encryption_lwe_dimension=16,
+        encryption_noise_distribution=DynamicDistribution.t_uniform(3),
+        message_modulus=4,
+        carry_modulus=4,
+        name="TOY_PKE_ZK",
+    )
+    priv = CompactPrivateKey.generate(P, seed=5)
+    pk = CompactPublicKey.generate(priv)
+    zk_crs = crs_for_params(P, max_bin_messages=4, seed=1)
+    lst = ProvenCompactCiphertextList.encrypt_and_prove(
+        pk, [1, 2, 3, 0], zk_crs, metadata=b"md"
+    )
+    ct = lst.verify_and_expand(zk_crs, pk, metadata=b"md")
+    dec = priv.decrypt_expanded(np.asarray(ct.ct))
+    assert list(dec) == [1, 2, 3, 0]
+
+    lst.ct_list.bodies[1] += np.uint64(1 << 60)
+    assert not lst.verify(zk_crs, pk, metadata=b"md")
+    with pytest.raises(ValueError):
+        lst.verify_and_expand(zk_crs, pk, metadata=b"md")
+
+
 def test_pke_rejects_tampering(crs):
     rng = np.random.default_rng(4)
     public, private, _ = _gen_testcase(rng, 8, 1, 256, 32, 1)

@@ -6,3 +6,5 @@ work), the proven lists expand into the normal batched ciphertext path.
 """
 
 from .curve import G1, G2, Fr, pairing
+from .pke import PkeCrs, PkeProof, prove, verify
+from .proven_list import ProvenCompactCiphertextList, crs_for_params
