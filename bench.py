@@ -63,7 +63,8 @@ def main():
     from tfhe_tpu.keycache import get_shortint_keys
     from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    # batch 512 measured ~3.5% over 256 (554.96 vs 536 PBS/s, r2 sweep)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     ck, sk = get_shortint_keys(P, seed=42)
 
     mm = P.message_modulus

@@ -86,3 +86,80 @@ def test_tag_propagation(keys):
     csk = api.CompressedServerKey.generate(ck)
     assert csk.tag == ck.tag
     assert csk.decompress().tag == ck.tag
+
+
+@pytest.fixture(scope="module")
+def comp_keys():
+    from tfhe_tpu.shortint.list_compression import COMP_PARAM_TEST_TOY
+
+    cfg = (api.ConfigBuilder().use_custom_parameters(PARAM_TEST_TOY)
+           .with_seed(8).enable_compression(COMP_PARAM_TEST_TOY).build())
+    ck, sk = api.generate_keys(cfg)
+    old = api._SERVER_KEY
+    api.set_server_key(sk)
+    yield ck, sk
+    api.set_server_key(old)
+
+
+def test_compressed_ciphertext_list_hlapi(comp_keys):
+    """push/build/get round trip over mixed types
+    (compressed_ciphertext_list.rs)."""
+    ck, sk = comp_keys
+    a = api.FheUint8.encrypt(173, ck)
+    b = api.FheUint4.encrypt(9, ck)
+    fb = api.FheBool.encrypt(True, ck)
+    lst = (api.CompressedCiphertextListBuilder()
+           .push(a).push(b).push(fb).build())
+    assert len(lst) == 3
+    assert int(lst.get(0).decrypt(ck)) == 173
+    assert int(lst.get(1).decrypt(ck)) == 9
+    assert bool(lst.get(2).decrypt(ck)) is True
+    assert type(lst.get(1)).__name__ == "FheUint4"
+
+
+def test_compact_list_builder_hlapi(keys):
+    """Typed compact list: push/build/expand (compact_list.rs)."""
+    ck, sk = keys
+    pke = CompactPublicKeyEncryptionParameters(
+        encryption_lwe_dimension=16,
+        encryption_noise_distribution=DynamicDistribution.t_uniform(3),
+        message_modulus=4, carry_modulus=4, name="TOY_PKE_CL",
+    )
+    ksp = ShortintKeySwitchingParameters(
+        ks_base_log=3, ks_level=5,
+        destination_key=EncryptionKeyChoice.BIG, name="TOY_KS_CL",
+    )
+    cpk = api.CompactPublicKey.new(ck, sk, pke, ksp, seed=31)
+    lst = (api.CompactCiphertextListBuilder(cpk)
+           .push(11, api.FheUint4).push(True, api.FheBool)
+           .push(2, api.FheUint2).build())
+    vals = lst.expand()
+    assert int(vals[0].decrypt(ck)) == 11
+    assert bool(vals[1].decrypt(ck)) is True
+    assert int(vals[2].decrypt(ck)) == 2
+
+
+def test_safe_serialization_hlapi(keys):
+    ck, sk = keys
+    x = api.FheUint8.encrypt(90, ck)
+    blob = api.safe_serialize(x)
+    back = api.safe_deserialize(blob)
+    assert int(back.decrypt(ck)) == 90
+    with pytest.raises(ValueError):
+        api.safe_serialize(x, serialized_size_limit=16)
+    with pytest.raises(ValueError):
+        api.safe_deserialize(blob, serialized_size_limit=16)
+
+
+def test_fhe_array_elementwise(keys):
+    """Array types: elementwise batched ops, indexing, slicing, sum
+    (high_level_api/array/)."""
+    ck, sk = keys
+    a = api.FheUint8Array.encrypt([10, 200, 31], ck)
+    b = api.FheUint8Array.encrypt([5, 100, 1], ck)
+    assert list((a + b).decrypt(ck)) == [15, 44, 32]
+    assert list((a & b).decrypt(ck)) == [10 & 5, 200 & 100, 31 & 1]
+    assert int(a[1].decrypt(ck)) == 200
+    assert list(a[0:2].decrypt(ck)) == [10, 200]
+    assert int(a.sum().decrypt(ck)) == (10 + 200 + 31) % 256
+    assert len(a) == 3

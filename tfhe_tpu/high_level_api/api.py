@@ -54,8 +54,22 @@ class ConfigBuilder:
         self._seed = seed
         return self
 
+    def enable_compression(self, comp_params) -> "ConfigBuilder":
+        """config.rs enable_compression."""
+        self._compression = comp_params
+        return self
+
+    def enable_noise_squashing(self, squash_params) -> "ConfigBuilder":
+        self._squash = squash_params
+        return self
+
     def build(self) -> Config:
-        return Config(parameters=self._params, seed=self._seed)
+        return Config(
+            parameters=self._params,
+            seed=self._seed,
+            noise_squashing_parameters=getattr(self, "_squash", None),
+            compression_parameters=getattr(self, "_compression", None),
+        )
 
 
 class Tag:
@@ -78,6 +92,7 @@ class ClientKey:
         self.inner = inner
         self.tag = tag or Tag()
         self.noise_squashing_private_key = noise_squashing_private_key
+        self.compression_private_key = None
 
     @classmethod
     def generate(cls, config: Config) -> "ClientKey":
@@ -99,6 +114,8 @@ class ServerKey:
         self.inner = inner
         self.tag = tag or Tag()
         self.noise_squashing_key = noise_squashing_key
+        self.compression_key = None
+        self.decompression_key = None
 
 
 class CompressedServerKey:
@@ -149,6 +166,17 @@ def generate_keys(config: Config, use_keycache: bool = False):
             )
         sk.noise_squashing_key = NoiseSquashingKey.generate(
             ck.inner.key, ck.noise_squashing_private_key
+        )
+    if config.compression_parameters is not None:
+        from ..shortint import list_compression as _lc
+
+        ck.compression_private_key = _lc.new_compression_private_key(
+            ck.inner.key, config.compression_parameters
+        )
+        sk.compression_key, sk.decompression_key = (
+            _lc.new_compression_decompression_keys(
+                ck.inner.key, ck.compression_private_key
+            )
         )
     return ck, sk
 
@@ -596,3 +624,316 @@ def fhe_uint(bits: int):
 
 def fhe_int(bits: int):
     return _SIGNED_TYPES[bits]
+
+
+# ---------------------------------------------------------------------------
+# compressed ciphertext lists (high_level_api/compressed_ciphertext_list.rs)
+# ---------------------------------------------------------------------------
+
+class HlCompressedCiphertextList:
+    """Packed-GLWE storage of a heterogeneous list of FHE values; items are
+    recovered by index with the decompression key."""
+
+    def __init__(self, packed, entries):
+        self.packed = packed  # shortint CompressedCiphertextList
+        self.entries = entries  # [(type, num_blocks, block_offset)]
+
+    def __len__(self):
+        return len(self.entries)
+
+    def get(self, idx: int):
+        """Decompress item ``idx`` back into its FHE type (requires the
+        server key with decompression keys set)."""
+        from ..shortint import list_compression as _lc
+
+        sk = _SERVER_KEY
+        assert sk is not None and sk.decompression_key is not None, (
+            "server key with compression enabled must be set"
+        )
+        ty, nb, off = self.entries[idx]
+        out = _lc.decompress(
+            self.packed, sk.decompression_key, sk.inner.key,
+            indices=list(range(off, off + nb)),
+        )
+        mm = out.message_modulus
+        if ty is FheBool:
+            return FheBool(BooleanBlock(ct=out.ct[0]))
+        rad = RadixCiphertext(
+            ct=out.ct,
+            degrees=np.full(nb, mm - 1, dtype=np.int64),
+            noise_levels=np.ones(nb, dtype=np.int64),
+            message_modulus=mm,
+            carry_modulus=out.carry_modulus,
+        )
+        return ty(rad)
+
+
+class CompressedCiphertextListBuilder:
+    """push(FheUintN | FheBool) ... -> build(): pack all blocks into shared
+    GLWEs (CompressedCiphertextListBuilder in compressed_ciphertext_list.rs).
+    """
+
+    def __init__(self):
+        self._items = []
+
+    def push(self, item) -> "CompressedCiphertextListBuilder":
+        self._items.append(item)
+        return self
+
+    def build(self) -> HlCompressedCiphertextList:
+        from ..shortint import list_compression as _lc
+        from ..shortint.ciphertext import NOMINAL_NOISE, ShortintCiphertext
+        import jax.numpy as jnp
+
+        sk = _SERVER_KEY
+        assert sk is not None and sk.compression_key is not None, (
+            "server key with compression enabled must be set"
+        )
+        blocks = []
+        entries = []
+        off = 0
+        for item in self._items:
+            if isinstance(item, FheBool):
+                blocks.append(item.block.ct[None])
+                entries.append((FheBool, 1, off))
+                off += 1
+            else:
+                ct = item.ct.ct
+                blocks.append(ct)
+                entries.append((type(item), ct.shape[-2], off))
+                off += ct.shape[-2]
+        params = sk.inner.key.params
+        batched = ShortintCiphertext(
+            ct=jnp.concatenate(blocks, axis=0),
+            degree=params.message_modulus - 1,
+            noise_level=NOMINAL_NOISE,
+            message_modulus=params.message_modulus,
+            carry_modulus=params.carry_modulus,
+        )
+        packed = _lc.compress(sk.compression_key, batched)
+        return HlCompressedCiphertextList(packed, entries)
+
+
+# ---------------------------------------------------------------------------
+# compact ciphertext lists (+ZK) — high_level_api/compact_list.rs
+# ---------------------------------------------------------------------------
+
+class HlCompactCiphertextList:
+    """Shared-mask compact list of typed values, expandable under the
+    compute keyset via the casting key."""
+
+    def __init__(self, clist, entries, pk, proofs=None, metadata=b""):
+        self.clist = clist  # shortint CompactCiphertextList
+        self.entries = entries  # [(type, num_blocks, digit_offset)]
+        self.pk = pk  # HLAPI CompactPublicKey (with casting ksk)
+        self.proofs = proofs
+        self.metadata = metadata
+
+    def __len__(self):
+        return len(self.entries)
+
+    def _expand_item(self, expanded_cast, idx: int):
+        sk = _sk()
+        ty, nb, off = self.entries[idx]
+        mm = sk.params.message_modulus
+        sub = expanded_cast.ct[off : off + nb]
+        if ty is FheBool:
+            return FheBool(BooleanBlock(ct=sub[0]))
+        rad = RadixCiphertext(
+            ct=sub,
+            degrees=np.full(nb, mm - 1, dtype=np.int64),
+            noise_levels=np.ones(nb, dtype=np.int64),
+            message_modulus=mm,
+            carry_modulus=sk.params.carry_modulus,
+        )
+        return ty(rad)
+
+    def expand(self):
+        """-> list of FHE values (expand + cast the whole list once)."""
+        casted = self.pk.ksk.cast(self.clist.expand_to_shortint())
+        return [self._expand_item(casted, i) for i in range(len(self.entries))]
+
+    def verify_and_expand(self, crs, metadata: bytes = b""):
+        """ZK path: verify every bin proof, then expand
+        (compact_list.rs:638 ProvenCompactCiphertextList::verify_and_expand).
+        """
+        from ..zk.proven_list import ProvenCompactCiphertextList
+
+        assert self.proofs is not None, "list was built without proofs"
+        proven = ProvenCompactCiphertextList(
+            ct_list=self.clist, proofs=self.proofs, metadata=self.metadata
+        )
+        if not proven.verify(crs, self.pk.pk, metadata=metadata):
+            raise ValueError("invalid ZK proof for compact ciphertext list")
+        return self.expand()
+
+
+class CompactCiphertextListBuilder:
+    """push typed clear values, then build() or build_with_proof(crs)."""
+
+    def __init__(self, pk: "CompactPublicKey"):
+        self.pk = pk
+        self._digits = []
+        self._entries = []
+
+    def push(self, value, ty) -> "CompactCiphertextListBuilder":
+        sk = _sk()
+        mm = sk.params.message_modulus
+        if ty is FheBool:
+            self._entries.append((FheBool, 1, len(self._digits)))
+            self._digits.append(int(bool(value)))
+            return self
+        nb = ty.num_blocks(sk.params)
+        self._entries.append((ty, nb, len(self._digits)))
+        v = int(value)
+        for _ in range(nb):
+            self._digits.append(v % mm)
+            v //= mm
+        return self
+
+    def build(self) -> HlCompactCiphertextList:
+        clist = self.pk.pk.encrypt(np.array(self._digits, dtype=np.uint64))
+        return HlCompactCiphertextList(clist, self._entries, self.pk)
+
+    def build_with_proof(self, crs, metadata: bytes = b"") -> HlCompactCiphertextList:
+        from ..zk.proven_list import ProvenCompactCiphertextList
+
+        proven = ProvenCompactCiphertextList.encrypt_and_prove(
+            self.pk.pk, np.array(self._digits, dtype=np.uint64), crs,
+            metadata=metadata,
+        )
+        return HlCompactCiphertextList(
+            proven.ct_list, self._entries, self.pk,
+            proofs=proven.proofs, metadata=metadata,
+        )
+
+
+# ---------------------------------------------------------------------------
+# safe serialization envelope (high_level_api/safe_serialization.rs:151-300)
+# ---------------------------------------------------------------------------
+
+def safe_serialize(obj, serialized_size_limit: int = 1 << 30) -> bytes:
+    """Versioned envelope with a size bound; rejects oversized payloads at
+    write time like the reference's SafeSerializer."""
+    from ..utils import serialization as _ser
+
+    if isinstance(obj, _FheIntegerBase):
+        data = _ser.serialize_radix(obj.ct)
+    elif isinstance(obj, ClientKey):
+        data = _ser.serialize_shortint_client_key(obj.inner.key)
+    elif isinstance(obj, ServerKey):
+        data = _ser.serialize_shortint_server_key(obj.inner.key)
+    else:
+        raise TypeError(f"safe_serialize: unsupported type {type(obj)}")
+    if len(data) > serialized_size_limit:
+        raise ValueError(
+            f"serialized size {len(data)} exceeds limit {serialized_size_limit}"
+        )
+    return data
+
+
+def safe_deserialize(data: bytes, serialized_size_limit: int = 1 << 30,
+                     conformance=None):
+    """Bounded + conformance-checked deserialize; integers are rewrapped
+    into their FheUint type."""
+    from ..utils import serialization as _ser
+
+    if len(data) > serialized_size_limit:
+        raise ValueError(
+            f"payload size {len(data)} exceeds limit {serialized_size_limit}"
+        )
+    obj = _ser.deserialize(data, conformance=conformance)
+    if isinstance(obj, RadixCiphertext):
+        return _wrap_radix(obj)
+    return obj
+
+
+# ---------------------------------------------------------------------------
+# arrays (high_level_api/array/): elementwise ops over batched radix cts
+# ---------------------------------------------------------------------------
+
+class _FheArrayBase:
+    """A batch of same-width encrypted integers in ONE radix ciphertext with
+    a leading batch axis — elementwise ops are a single batched KS->PBS
+    pipeline, the TPU-native analog of the reference's array types."""
+
+    SCALAR_TYPE = None  # FheUintN
+
+    def __init__(self, ct: RadixCiphertext):
+        self.ct = ct
+
+    @classmethod
+    def encrypt(cls, values, client_key: ClientKey):
+        nb = cls.SCALAR_TYPE.num_blocks(client_key.inner.params)
+        vals = np.asarray(values, dtype=np.uint64)
+        assert vals.ndim == 1, "FheArray encrypts a 1-D list of values"
+        return cls(client_key.inner.encrypt_radix(vals, nb))
+
+    def decrypt(self, client_key: ClientKey) -> np.ndarray:
+        return np.atleast_1d(client_key.inner.decrypt_radix(self.ct))
+
+    def __len__(self):
+        return self.ct.ct.shape[0]
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            sub = RadixCiphertext(
+                ct=self.ct.ct[idx],
+                degrees=self.ct.degrees,
+                noise_levels=self.ct.noise_levels,
+                message_modulus=self.ct.message_modulus,
+                carry_modulus=self.ct.carry_modulus,
+            )
+            return type(self)(sub)
+        one = RadixCiphertext(
+            ct=self.ct.ct[idx],
+            degrees=self.ct.degrees,
+            noise_levels=self.ct.noise_levels,
+            message_modulus=self.ct.message_modulus,
+            carry_modulus=self.ct.carry_modulus,
+        )
+        return self.SCALAR_TYPE(one)
+
+    def _wrap(self, ct):
+        return type(self)(ct)
+
+    def __add__(self, other):
+        return self._wrap(_sk().add(self.ct, other.ct))
+
+    def __sub__(self, other):
+        return self._wrap(_sk().sub(self.ct, other.ct))
+
+    def __mul__(self, other):
+        return self._wrap(_sk().mul(self.ct, other.ct))
+
+    def __and__(self, other):
+        return self._wrap(_sk().bitand(self.ct, other.ct))
+
+    def __or__(self, other):
+        return self._wrap(_sk().bitor(self.ct, other.ct))
+
+    def __xor__(self, other):
+        return self._wrap(_sk().bitxor(self.ct, other.ct))
+
+    def eq(self, other):
+        return FheBool(_sk().eq(self.ct, other.ct))
+
+    def sum(self):
+        """Multi-operand parallel sum of all elements -> scalar FheUint."""
+        parts = [self[i].ct for i in range(len(self))]
+        return self.SCALAR_TYPE(_sk().sum_ciphertexts_parallelized(parts))
+
+
+_UNSIGNED_ARRAY_TYPES = {}
+for _bits in _SIZES:
+    _UNSIGNED_ARRAY_TYPES[_bits] = type(
+        f"FheUint{_bits}Array", (_FheArrayBase,),
+        {"SCALAR_TYPE": _UNSIGNED_TYPES[_bits]},
+    )
+globals().update(
+    {f"FheUint{b}Array": c for b, c in _UNSIGNED_ARRAY_TYPES.items()}
+)
+
+
+def fhe_uint_array(bits: int):
+    return _UNSIGNED_ARRAY_TYPES[bits]

@@ -144,6 +144,12 @@ class PkeCrs:
     def t_eff(self) -> int:
         return self.t >> self.pad_bits
 
+    def big_d_for(self, k: int) -> int:
+        """Effective witness size for a statement with k <= self.k messages
+        (the reference recomputes this per proof, pke.rs:602-607)."""
+        return (self.d + k * _ilog2(self.t_eff)
+                + (self.d + k) * (2 + _ilog2(self.b) + _ilog2(self.b_r)))
+
     @classmethod
     def generate(cls, d: int, k: int, b: int, q: int, t: int,
                  pad_bits: int, seed: int = 0) -> "PkeCrs":
@@ -244,7 +250,7 @@ def _compute_a_theta(crs: PkeCrs, theta0, a, b_poly, k):
             for j in range(step):
                 v = (-qz) * (1 << j) % R * theta[i] % R
                 out.append((-v) % R if j == step - 1 else v)
-    assert len(out) == crs.big_d
+    assert len(out) == crs.big_d_for(k)
     return out
 
 
@@ -285,7 +291,7 @@ def _witness_bits(crs: PkeCrs, r, m, e1, e2, r1, r2):
         w += _bits(v, 1 + _ilog2(crs.b_r))
     for v in r2:
         w += _bits(v, 1 + _ilog2(crs.b_r))
-    assert len(w) == crs.big_d
+    assert len(w) == crs.big_d_for(len(e2))
     return w
 
 
@@ -345,7 +351,8 @@ def prove(crs: PkeCrs, public, private, metadata: bytes = b"",
     """
     a, b_poly, c1, c2 = public
     r, e1, m, e2 = private
-    d, k, n, big_d = crs.d, len(c2), crs.n, crs.big_d
+    d, k, n = crs.d, len(c2), crs.n
+    big_d = crs.big_d_for(k)  # actual witness size for this bin's k
     q = crs.decoded_q
 
     gamma, gamma_y = _hash_to_scalars(crs.tag(b"gamma"), [seed], 2)
@@ -421,8 +428,9 @@ def verify(proof: PkeProof, crs: PkeCrs, public, metadata: bytes = b"") -> bool:
                     / e(g_1, g_hat_n)^{t_theta delta_theta}
     """
     a, b_poly, c1, c2 = public
-    k, n, big_d = len(c2), crs.n, crs.big_d
-    if k > crs.k or len(a) != crs.d or len(b_poly) != crs.d:
+    k, n = len(c2), crs.n
+    big_d = crs.big_d_for(k)
+    if k > crs.k or big_d > crs.big_d or len(a) != crs.d or len(b_poly) != crs.d:
         return False
     (y, a_theta, delta_theta, t_vec, delta_eq, delta_y, t_theta) = _challenges(
         crs, public, (proof.c_hat, proof.c_y), metadata
