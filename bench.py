@@ -63,8 +63,9 @@ def main():
     from tfhe_tpu.keycache import get_shortint_keys
     from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
 
-    # batch 512 measured ~3.5% over 256 (554.96 vs 536 PBS/s, r2 sweep)
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    # batch scaling (r2 sweep): 256 -> 536, 512 -> 555, 1024 -> 564,
+    # 2048 -> 566 PBS/s; 1024 is the knee
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     ck, sk = get_shortint_keys(P, seed=42)
 
     mm = P.message_modulus

@@ -166,3 +166,14 @@ def test_scalar_dot_product(keys):
         (sum(w * v[i] for w, v in zip(ws, vs))) & MASK for i in range(2)
     ]
     assert got == want
+
+
+def test_oblivious_pseudo_random(keys):
+    ck, sk = keys
+    r = sk.generate_oblivious_pseudo_random(seed=7, num_blocks=4,
+                                            random_bits_count=5)
+    v = int(np.atleast_1d(ck.decrypt_radix(r))[0])
+    assert 0 <= v < 32
+    r2 = sk.generate_oblivious_pseudo_random(seed=7, num_blocks=4,
+                                             random_bits_count=5)
+    assert int(np.atleast_1d(ck.decrypt_radix(r2))[0]) == v

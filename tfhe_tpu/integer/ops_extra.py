@@ -501,3 +501,60 @@ class RadixExtraOps:
         if not terms:
             return self._trivial_radix(0, cts[0].num_blocks, cts[0])
         return self.sum_ciphertexts_parallelized(terms)
+
+    # ==================================================================
+    # oblivious pseudo-random generation — integer/oprf.rs
+    # ==================================================================
+
+    def generate_oblivious_pseudo_random(
+        self, seed: int, num_blocks: int, random_bits_count: int = None
+    ):
+        """Encrypted uniform value in [0, 2^random_bits_count) the server
+        cannot see (par_generate_oblivious_pseudo_random_unsigned_integer,
+        integer/oprf.rs:31-105): per-block seeds derived deterministically,
+        one seeded-LWE PBS per block, trivial zeros above the bound."""
+        import hashlib
+
+        import jax.numpy as jnp
+
+        from ..shortint import oprf as _oprf
+
+        mm = self.key.params.message_modulus
+        mbits = int(np.log2(mm))
+        if random_bits_count is None:
+            random_bits_count = mbits * num_blocks
+        assert random_bits_count <= mbits * num_blocks
+        blocks = []
+        degrees = []
+        for i in range(num_blocks):
+            blk_seed = int.from_bytes(
+                hashlib.shake_256(
+                    b"tfhe-tpu-oprf" + seed.to_bytes(16, "little")
+                    + i.to_bytes(8, "little")
+                ).digest(8),
+                "little",
+            )
+            lo = i * mbits
+            if lo < random_bits_count:
+                bits = min(mbits, random_bits_count - lo)
+                sct = _oprf.generate_oblivious_pseudo_random(
+                    self.key, blk_seed, bits
+                )
+                blocks.append(jnp.asarray(sct.ct))
+                degrees.append((1 << bits) - 1)
+            else:
+                dim = blocks[0].shape[-1] if blocks else (
+                    self.key.params.glwe_dimension
+                    * self.key.params.polynomial_size + 1
+                )
+                blocks.append(jnp.zeros(dim, dtype=jnp.uint64))
+                degrees.append(0)
+        from .radix import RadixCiphertext
+
+        return RadixCiphertext(
+            ct=jnp.stack(blocks),
+            degrees=np.array(degrees, dtype=np.int64),
+            noise_levels=np.ones(num_blocks, dtype=np.int64),
+            message_modulus=mm,
+            carry_modulus=self.key.params.carry_modulus,
+        )

@@ -352,6 +352,10 @@ class ServerKey:
         p = self.params
         plan = self._plan
         _, _, ks = self._fns
+        from ..utils import trace
+
+        trace.add_pbs(int(np.prod(ct.ct.shape[:-1])) or 1)
+        trace.add_ks(int(np.prod(ct.ct.shape[:-1])) or 1)
         small = ks(ct.ct, self.ksk_i8)
         N = p.polynomial_size
         log_modulus = N.bit_length()
@@ -412,6 +416,10 @@ class ServerKey:
             f"{order} pattern expects {expect}-key input, got {ct.under_key}"
         )
         ks_pbs, _, _ = self._fns
+        from ..utils import trace
+
+        trace.add_pbs(int(np.prod(ct.ct.shape[:-1])) or 1)
+        trace.add_ks(int(np.prod(ct.ct.shape[:-1])) or 1)
         out = ks_pbs(ct.ct, lut.acc, self.ksk_i8, self.bsk_scan)
         return ShortintCiphertext(
             ct=out,
@@ -423,7 +431,10 @@ class ServerKey:
         )
 
     def keyswitch(self, ct: ShortintCiphertext) -> ShortintCiphertext:
+        from ..utils import trace
+
         _, _, ks = self._fns
+        trace.add_ks(int(np.prod(ct.ct.shape[:-1])) or 1)
         out = ks(ct.ct, self.ksk_i8)
         return ct.with_ct(out)
 
