@@ -18,6 +18,7 @@ and checked) before timing.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -91,16 +92,42 @@ def main():
 
     per_iter = (t1 - t0) / iters
     pbs_per_s = batch / per_iter
-    print(
-        json.dumps(
-            {
-                "metric": "ks_pbs_throughput_2_2",
-                "value": round(pbs_per_s, 2),
-                "unit": "PBS/s",
-                "vs_baseline": round(pbs_per_s / BASELINE_PBS_PER_S, 4),
-            }
-        )
+    record = {
+        "metric": "ks_pbs_throughput_2_2",
+        "value": round(pbs_per_s, 2),
+        "unit": "PBS/s",
+        "vs_baseline": round(pbs_per_s / BASELINE_PBS_PER_S, 4),
+    }
+    print(json.dumps(record))
+    _append_history(dict(record, batch=batch))
+
+
+def _append_history(record: dict) -> None:
+    """Regression history: one JSON line per run with timestamp + git rev
+    (the tfhe-benchmark results-database analog)."""
+    import datetime
+    import subprocess
+
+    record["ts"] = datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds"
     )
+    try:
+        record["rev"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        record["rev"] = "unknown"
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+        )
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
