@@ -163,3 +163,21 @@ def test_fhe_array_elementwise(keys):
     assert list(a[0:2].decrypt(ck)) == [10, 200]
     assert int(a.sum().decrypt(ck)) == (10 + 200 + 31) % 256
     assert len(a) == 3
+
+
+def test_xof_keyset_deterministic():
+    """Single-seed keyset: equal seeds -> bit-identical keys, cross-derived
+    decryption works (xof_key_set.rs)."""
+    cfg = api.ConfigBuilder().use_custom_parameters(PARAM_TEST_TOY).build()
+    ks1 = api.CompressedXofKeySet.generate(cfg, seed=99)
+    ks2 = api.CompressedXofKeySet.generate(cfg, seed=99)
+    ck1, sk1 = ks1.decompress()
+    ck2, sk2 = ks2.decompress()
+    assert np.array_equal(ck1.inner.key.lwe_sk.bits, ck2.inner.key.lwe_sk.bits)
+    old = api._SERVER_KEY
+    api.set_server_key(sk1)
+    try:
+        x = api.FheUint8.encrypt(42, ck1)
+        assert int((x + x).decrypt(ck2)) == 84
+    finally:
+        api.set_server_key(old)

@@ -937,3 +937,36 @@ globals().update(
 
 def fhe_uint_array(bits: int):
     return _UNSIGNED_ARRAY_TYPES[bits]
+
+
+# ---------------------------------------------------------------------------
+# XOF keyset (high_level_api/xof_key_set.rs): every key from ONE seed
+# ---------------------------------------------------------------------------
+
+class CompressedXofKeySet:
+    """All key material deterministically derived from a single XOF seed:
+    ship only the seed + compressed server-key bodies, re-expand anywhere
+    (xof_key_set.rs:117,365). The client secret key is regenerable from the
+    seed alone, so two parties holding the seed derive identical keysets."""
+
+    def __init__(self, seed: int, config: Config, compressed_server_key):
+        self.seed = seed
+        self.config = config
+        self.compressed_server_key = compressed_server_key
+
+    @classmethod
+    def generate(cls, config: Config, seed: int) -> "CompressedXofKeySet":
+        cfg = Config(
+            parameters=config.parameters, seed=seed,
+            noise_squashing_parameters=config.noise_squashing_parameters,
+            compression_parameters=config.compression_parameters,
+        )
+        ck = ClientKey.generate(cfg)
+        csk = CompressedServerKey.generate(ck)
+        return cls(seed=seed, config=cfg, compressed_server_key=csk)
+
+    def decompress(self):
+        """-> (ClientKey, ServerKey), bit-identical for equal seeds."""
+        ck = ClientKey.generate(self.config)
+        sk = self.compressed_server_key.decompress()
+        return ck, sk
