@@ -612,8 +612,12 @@ def multi_bit_blind_rotate(
         residues = plan.inv(acc_hat)
         return plan.reconstruct_u64(residues)
 
-    for t in range(ngroups):
-        acc = group_step(t, acc)
+    # scan, not a Python loop: at production sizes ngroups = n/g ~ 452 and
+    # an unrolled graph takes tens of minutes to compile
+    def scan_body(a, t):
+        return group_step(t, a), None
+
+    acc, _ = lax.scan(scan_body, acc, jnp.arange(ngroups))
     return acc
 
 
