@@ -66,8 +66,25 @@ class RadixExtraOps:
             multi = [g for g in groups if len(g) > 1]
             nxt.extend(g[0] for g in groups if len(g) == 1)
             if not multi:
-                # budgets exhausted without any packing: clean everything
-                cur = [self._clean(c) for c in cur]
+                # budgets exhausted without any packing. _clean alone is NOT
+                # enough: it only fires on degree-dirty blocks, so operands
+                # whose NOISE blocks packing (e.g. bool*clear terms) would
+                # loop forever. Force a real reset on anything dirty; if
+                # nothing is dirty the budgets are structurally too tight —
+                # reduce sequentially instead.
+                dirty = [
+                    i for i, c in enumerate(cur)
+                    if np.any(c.noise_levels > 1) or not self._max_clean(c)
+                ]
+                if not dirty:
+                    res = cur[0]
+                    for c in cur[1:]:
+                        res = self.add_parallelized(res, c)
+                    return res
+                cur = [
+                    self.full_propagate(c) if i in set(dirty) else c
+                    for i, c in enumerate(cur)
+                ]
                 continue
             # leveled group sums, then one batched (msg, carry) PBS pair
             sums, degs, nois = [], [], []
@@ -107,13 +124,14 @@ class RadixExtraOps:
                 cdeg = np.minimum(
                     self._np_shift_right(d // mm, 1), budget
                 )
-                nxt.append(
-                    cur[0].with_ct(
-                        c_blocks,
-                        degrees=cdeg,
-                        noise_levels=np.full(nb, NOMINAL_NOISE, dtype=np.int64),
+                if np.any(cdeg > 0):  # degree-0 carry is provably zero
+                    nxt.append(
+                        cur[0].with_ct(
+                            c_blocks,
+                            degrees=cdeg,
+                            noise_levels=np.full(nb, NOMINAL_NOISE, dtype=np.int64),
+                        )
                     )
-                )
             cur = nxt
         if len(cur) == 1:
             return self._clean(cur[0])
@@ -277,9 +295,14 @@ class RadixExtraOps:
 
     def match_value_or(self, a, matches: list, default: int):
         """match_value with a default when nothing matches
-        (vector_find.rs match_value_or_parallelized)."""
+        (vector_find.rs match_value_or_parallelized). The output is wide
+        enough for the default too, not just the match outputs."""
         result, check = self.match_value(a, matches)
-        nb = result.num_blocks
+        bits = self._bits_per_block()
+        nb_default = max(1, math.ceil(max(int(default), 1).bit_length() / bits))
+        nb = max(result.num_blocks, nb_default)
+        if result.num_blocks < nb:
+            result = self.cast_to_num_blocks(result, nb)
         d = self._trivial_radix(int(default), nb, a)
         return self.if_then_else(check, result, d), check
 

@@ -995,32 +995,13 @@ class ServerKey(RadixExtraOps):
     # ======================================================================
 
     def sum_ciphertexts(self, cts: list) -> RadixCiphertext:
-        """Sum many radix ciphertexts: linear adds while the carry space
-        allows, then parallel propagation; repeat."""
+        """Sum many radix ciphertexts via the log-depth carry-save
+        compressor (radix_parallel/sum.rs) — batched PBS rounds instead of
+        the old per-merge sequential ``full_propagate``."""
         assert cts, "empty sum"
-        budget = self._prop_budget
-        cur = list(cts)
-        while len(cur) > 1:
-            acc = cur[0]
-            merged = [acc]
-            for nxt in cur[1:]:
-                cand_deg = merged[-1].degrees + nxt.degrees
-                cand_noise = merged[-1].noise_levels + nxt.noise_levels
-                if (
-                    np.all(cand_deg <= budget)
-                    and np.all(cand_noise < self.params.max_noise_level)
-                ):
-                    merged[-1] = self.unchecked_add(merged[-1], nxt)
-                else:
-                    merged[-1] = self.full_propagate(merged[-1])
-                    merged.append(nxt)
-            cur = merged
-            if len(cur) == 1:
-                break
-        out = cur[0]
-        if not self._max_clean(out):
-            out = self.full_propagate(out)
-        return out
+        if len(cts) == 1:
+            return self._clean(cts[0])
+        return self.sum_ciphertexts_parallelized(cts)
 
     # ======================================================================
     # division — radix_parallel/div_mod.rs (restoring long division)
