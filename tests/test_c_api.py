@@ -20,7 +20,15 @@ def test_c_api_build_and_run():
     )
     assert build.returncode == 0, build.stderr[-2000:]
     env = dict(os.environ)
-    env["PYTHONPATH"] = f"{ROOT}:" + env.get("PYTHONPATH", "")
+    # The embedded CPython links the system libpython; make it see the same
+    # site-packages as the interpreter running this suite (e.g. a venv not on
+    # PATH), plus the repo root for ``tfhe_tpu`` itself.
+    import site
+
+    pkg_dirs = [d for d in site.getsitepackages() if os.path.isdir(d)]
+    env["PYTHONPATH"] = ":".join(
+        [str(ROOT), *pkg_dirs, env.get("PYTHONPATH", "")]
+    ).rstrip(":")
     env["JAX_PLATFORM_NAME"] = "cpu"
     run = subprocess.run(
         [str(C_API / "build" / "c_api_test")],

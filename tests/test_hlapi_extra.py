@@ -95,16 +95,23 @@ def comp_keys():
     cfg = (api.ConfigBuilder().use_custom_parameters(PARAM_TEST_TOY)
            .with_seed(8).enable_compression(COMP_PARAM_TEST_TOY).build())
     ck, sk = api.generate_keys(cfg)
-    old = api._SERVER_KEY
-    api.set_server_key(sk)
-    yield ck, sk
-    api.set_server_key(old)
+    return ck, sk
 
 
-def test_compressed_ciphertext_list_hlapi(comp_keys):
+def test_compressed_ciphertext_list_hlapi(comp_keys, keys):
     """push/build/get round trip over mixed types
-    (compressed_ciphertext_list.rs)."""
+    (compressed_ciphertext_list.rs). The global-key swap is scoped to THIS
+    test: a module-scoped swap leaked the compression server key into every
+    later test that encrypts under the ``keys`` fixture's client key."""
     ck, sk = comp_keys
+    api.set_server_key(sk)
+    try:
+        _compressed_list_body(ck)
+    finally:
+        api.set_server_key(keys[1])
+
+
+def _compressed_list_body(ck):
     a = api.FheUint8.encrypt(173, ck)
     b = api.FheUint4.encrypt(9, ck)
     fb = api.FheBool.encrypt(True, ck)

@@ -66,7 +66,8 @@ def _fake_run_kernel(acc, a, ggsw, use_mxu=False):
         tabs.tw_fwd, tabs.tw_fwd_sh, tabs.tw_inv, tabs.tw_inv_sh,
         tabs.twist, tabs.twist_sh, tabs.untwist, tabs.untwist_sh, tabs.upper,
         tabs.tw_fwd_col, tabs.tw_fwd_col_sh, tabs.tw_inv_col,
-        tabs.tw_inv_col_sh, tabs.fwd_w8, tabs.inv_w8,
+        tabs.tw_inv_col_sh, tabs.fwd_w8m, tabs.inv_w8m,
+        tabs.fwd_bias_row, tabs.inv_bias_row,
     ]
     out_hi, out_lo = FakeOut(), FakeOut()
     kernel(

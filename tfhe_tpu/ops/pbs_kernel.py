@@ -203,6 +203,56 @@ class _KernelTables:
             self.recomb_bias = np.array(
                 [bias % p for p in plan.primes], dtype=np.uint32
             )
+            # --- v3c: merged [512,512] matrices (the 4 output-limb matmuls
+            # as one dispatch), OFFSET data limbs d_j = ((v>>8j)&255)-128,
+            # and a pair-fold recombination whose int32 safety is verified
+            # here against the EXACT per-matrix row-sum bounds.
+            self.c16 = np.array(
+                [(1 << 16) % p for p in plan.primes], dtype=np.uint32
+            )
+            self.c16_sh = np.array(
+                [(((1 << 16) % p) << 32) // p for p in plan.primes],
+                dtype=np.uint32,
+            )
+            fwd_m, fwd_b = [], []
+            inv_m, inv_b = [], []
+            for pi in range(P):
+                m, b = self._merged_limb_matrix(pi, inverse=False)
+                fwd_m.append(m)
+                fwd_b.append(b)
+                m, b = self._merged_limb_matrix(pi, inverse=True)
+                inv_m.append(m)
+                inv_b.append(b)
+            self.fwd_w8m = np.stack(fwd_m)  # [P, 512, 512] int8
+            self.inv_w8m = np.stack(inv_m)
+            self.fwd_bias_row = np.stack(fwd_b)  # [P, 128] u32
+            self.inv_bias_row = np.stack(inv_b)
+
+    def _merged_limb_matrix(self, pi: int, inverse: bool):
+        """[512, 512] int8 merged matrix + [128] u32 bias row for prime pi.
+
+        Column block j holds output limb j; the bias row folds (a) the +2^31
+        bias applied to the two pair-folded int32 values (V1 scaled 2^16) and
+        (b) the +128 offset of the data limbs (corrected via matrix column
+        sums — the 2^{8i} limb scale lives inside the stacked matrix).
+        Asserts the exact pair-fold bounds |U_0 + 256 U_1|, |U_2 + 256 U_3|
+        < 2^31 using per-column absolute row sums.
+        """
+        p = int(self.plan.primes[pi])
+        src = self.inv_w8[pi] if inverse else self.fwd_w8[pi]  # [4,512,128]
+        W = np.concatenate([src[j] for j in range(4)], axis=1)  # [512, 512]
+        bnd = [
+            int((np.abs(src[j].astype(np.int64)).sum(axis=0) * 128).max())
+            for j in range(4)
+        ]
+        assert bnd[0] + 256 * bnd[1] < 2**31 - 1, (pi, inverse, bnd)
+        assert bnd[2] + 256 * bnd[3] < 2**31 - 1, (pi, inverse, bnd)
+        colsum = src.astype(np.int64).sum(axis=1)  # [4, 128]
+        bias_row = np.zeros(128, dtype=np.uint32)
+        for lane in range(128):
+            off = 128 * sum(int(colsum[j, lane]) << (8 * j) for j in range(4))
+            bias_row[lane] = (-(1 << 31) * (1 + (1 << 16)) + off) % p
+        return W.astype(np.int8), bias_row
 
     def _small_stage_matrix(self, pi: int, inverse: bool) -> np.ndarray:
         """128x128 matrix M (mod p) with out_row = in_row @ M equal to the
@@ -417,39 +467,50 @@ def _split4_i8(x):
     return jnp.concatenate([l.astype(jnp.int8) for l in limbs], axis=-1)
 
 
-def _mxu_small_dft(y, pi, w8_ref, consts, p):
-    """All h<128 stages as int8 MXU matmuls: [rows, 128] u32 (< p) ->
-    [rows, 128] u32 (< 2p).
+def _split4_i8_offset(x):
+    """u32 values < 2^30 -> 4 OFFSET base-256 limbs d_j = ((v>>8j)&255)-128
+    (int8), concatenated on the lane axis: [rows, 128] -> [rows, 512].
 
-    out = sum_j (L @ W_j) * 2^{8j} mod p where L stacks the 4 data limbs on
-    the contraction axis and W_j holds limb j of [2^{8i} M mod p] rows.
-    ``consts`` = (c32, c32_sh, one_sh, bias) python ints for this prime.
+    v = sum_j d_j 2^{8j} + 128*0x01010101; the constant offset is corrected
+    by the per-prime bias row (column sums folded at table-build time)."""
+    v = x.astype(I32)
+    limbs = []
+    for j in range(4):
+        d = ((v >> I32(8 * j)) & I32(255)) - I32(128) if j else (
+            (v & I32(255)) - I32(128)
+        )
+        limbs.append(d.astype(jnp.int8))
+    return jnp.concatenate(limbs, axis=-1)
+
+
+def _mxu_small_dft(y, pi, w8m_ref, bias_ref, consts, p):
+    """All h<128 stages as ONE merged int8 MXU matmul: [rows, 128] u32 (< p)
+    -> [rows, 128] u32 (< 2p).
+
+    U = L @ W where L stacks 4 offset data limbs on the contraction axis and
+    W's column block j holds limb j of the stacked [2^{8i} M mod p] rows.
+    Recombination is a pair fold — V0 = U_0 + 256 U_1, V1 = U_2 + 256 U_3,
+    both int32-exact by the row-sum bounds asserted at table build — then
+    X = V0 + 2^16 V1 mod p via two Shoup-style reductions; the +2^31
+    signed->unsigned biases and the limb offset are one bias-row add.
+    ``consts`` = (c16, c16_sh, one_sh) python ints for this prime.
     """
-    c32, c32_sh, one_sh, bias = (U32(c) for c in consts)
-    L = _split4_i8(y)  # [rows, 512] int8
-    u = []
-    for jmb in range(4):
-        u.append(
-            lax.dot_general(
-                L, w8_ref[pi, jmb], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-        )  # |U_j| <= 2^23
-    # X = sum_j (U_j + 2^23) * 2^{8j}   (exact in a u32 pair, X < 2^49)
-    a = [(uj + I32(1 << 23)).astype(U32) for uj in u]  # < 2^24
-    lo = a[0] + (a[1] << U32(8))  # a1 << 8 < 2^32, no shift overflow
-    hi = jnp.where(lo < a[0], U32(1), U32(0))
-    t2_hi, t2_lo = a[2] >> U32(16), a[2] << U32(16)
-    hi, lo = _add64(hi, lo, t2_hi, t2_lo)
-    t3_hi, t3_lo = a[3] >> U32(8), a[3] << U32(24)
-    hi, lo = _add64(hi, lo, t3_hi, t3_lo)
-    # reduce X = hi*2^32 + lo mod p, then subtract the limb bias
-    r1 = _shoup(hi, c32, c32_sh, p)  # hi < 2^17
-    q = _mul_hi(lo, one_sh)
-    r2 = lo - q * p  # lo mod p, < 2p (Shoup identity with w = 1)
-    r = _condsub(r1 + r2, U32(2) * p)  # < 2p
-    r = r + U32(2) * p - bias  # bias < p so r stays in (0, 4p)
-    return _condsub(r, U32(2) * p)  # < 2p
+    c16, c16_sh, one_sh = (U32(c) for c in consts)
+    L = _split4_i8_offset(y)  # [rows, 512] int8
+    U = lax.dot_general(
+        L, w8m_ref[pi], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [rows, 512] int32
+    V0 = U[:, :128] + (U[:, 128:256] << I32(8))
+    V1 = U[:, 256:384] + (U[:, 384:512] << I32(8))
+    V0u = V0.astype(U32) + U32(0x80000000)  # = V0 + 2^31 mod 2^32 (exact)
+    V1u = V1.astype(U32) + U32(0x80000000)
+    q0 = _mul_hi(V0u, one_sh)
+    r0 = V0u - q0 * p  # V0u mod p, < 2p (Shoup identity with w = 1)
+    r1 = _shoup(V1u, c16, c16_sh, p)  # < 2p
+    s = _condsub(r0 + r1, U32(2) * p)  # < 2p
+    s = s + bias_ref[pi][None, :]  # bias < p so s < 3p < 2^32
+    return _condsub(s, U32(2) * p)  # < 2p
 
 
 def _fwd_ntt_v3(x, pi, tabs_c, p, p2, log_n, w8_ref):
@@ -467,7 +528,8 @@ def _fwd_ntt_v3(x, pi, tabs_c, p, p2, log_n, w8_ref):
         )
     x = _condsub(x, p)  # < p for the limb split
     y = x.reshape(bt * (n // 128), 128)
-    return _mxu_small_dft(y, pi, w8_ref, tabs_c["mxu_consts"][pi], p)
+    return _mxu_small_dft(y, pi, w8_ref, tabs_c["fwd_bias"],
+                          tabs_c["mxu_consts"][pi], p)
 
 
 def _inv_ntt_v3(yb, pi, tabs_c, p, p2, log_n, w8i_ref, bt, n):
@@ -475,7 +537,8 @@ def _inv_ntt_v3(yb, pi, tabs_c, p, p2, log_n, w8i_ref, bt, n):
     stages as matmuls, then the big inverse stages + untwist on the VPU.
     Output [Bt, N] fully reduced < p (same contract as _inv_ntt)."""
     yb = _condsub(yb, p)
-    z = _mxu_small_dft(yb, pi, w8i_ref, tabs_c["mxu_consts"][pi], p)  # < 2p, block layout
+    z = _mxu_small_dft(yb, pi, w8i_ref, tabs_c["inv_bias"],
+                       tabs_c["mxu_consts"][pi], p)  # < 2p, block layout
     x = z.reshape(bt, n)
     for s in reversed(range(tabs_c["first_small"])):
         h = (n >> s) >> 1
@@ -493,7 +556,8 @@ def _inv_ntt_v3b(yb, pi, tabs_c, p, p2, log_n, w8i_ref, bt, n):
     slice the middle (group) axis, so the block->flat relayout happens once
     at the very end instead of between the matmul and the stages."""
     yb = _condsub(yb, p)
-    z = _mxu_small_dft(yb, pi, w8i_ref, tabs_c["mxu_consts"][pi], p)  # < 2p
+    z = _mxu_small_dft(yb, pi, w8i_ref, tabs_c["inv_bias"],
+                       tabs_c["mxu_consts"][pi], p)  # < 2p
     g = n // 128
     y3 = z.reshape(bt, g, 128)
     for s in reversed(range(tabs_c["first_small"])):
@@ -544,7 +608,8 @@ def _fwd_ntt_v3b(x, pi, tabs_c, p, p2, log_n, w8_ref):
             pieces.append(_shoup(t, w, ws, p))
         y3 = jnp.concatenate(pieces, axis=1)
     y = _condsub(y3, p).reshape(bt * g, 128)
-    return _mxu_small_dft(y, pi, w8_ref, tabs_c["mxu_consts"][pi], p)
+    return _mxu_small_dft(y, pi, w8_ref, tabs_c["fwd_bias"],
+                          tabs_c["mxu_consts"][pi], p)
 
 
 def _fwd_ntt(x, pi, tabs_c, p, p2, log_n):
@@ -769,17 +834,16 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
         return hi, lo
 
     mxu_consts = None
-    if getattr(tabs, "fwd_w8", None) is not None:
+    if getattr(tabs, "fwd_w8m", None) is not None:
         mxu_consts = tuple(
-            (int(tabs.c32[i]), int(tabs.c32_sh[i]), int(tabs.one_sh[i]),
-             int(tabs.recomb_bias[i]))
+            (int(tabs.c16[i]), int(tabs.c16_sh[i]), int(tabs.one_sh[i]))
             for i in range(P)
         )
 
     def kernel(a_ref, bsk_ref, tf_ref, tfs_ref, ti_ref, tis_ref, tw_ref,
                tws_ref, utw_ref, utws_ref, up_ref, tfc_ref, tfcs_ref,
-               tic_ref, tics_ref, w8f_ref, w8i_ref, acc_hi_ref, acc_lo_ref,
-               out_hi_ref, out_lo_ref):
+               tic_ref, tics_ref, w8f_ref, w8i_ref, biasf_ref, biasi_ref,
+               acc_hi_ref, acc_lo_ref, out_hi_ref, out_lo_ref):
         tabs_c = {
             "tw_fwd": tf_ref[:], "tw_fwd_sh": tfs_ref[:],
             "tw_inv": ti_ref[:], "tw_inv_sh": tis_ref[:],
@@ -790,6 +854,7 @@ def _make_step_kernel(n, num_primes, base_log, levels, R, tabs: _KernelTables,
             "tw_inv_col": tic_ref[:], "tw_inv_col_sh": tics_ref[:],
             "first_small": tabs.first_small_stage,
             "mxu_consts": mxu_consts,
+            "fwd_bias": biasf_ref[:], "inv_bias": biasi_ref[:],
         }
         lane_idx = lax.broadcasted_iota(U32, (1, n), 1)
         hi = [acc_hi_ref[r] for r in range(R)]
@@ -828,7 +893,8 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1,
         tabs.tw_fwd, tabs.tw_fwd_sh, tabs.tw_inv, tabs.tw_inv_sh,
         tabs.twist, tabs.twist_sh, tabs.untwist, tabs.untwist_sh, tabs.upper,
         tabs.tw_fwd_col, tabs.tw_fwd_col_sh, tabs.tw_inv_col,
-        tabs.tw_inv_col_sh, tabs.fwd_w8, tabs.inv_w8,
+        tabs.tw_inv_col_sh, tabs.fwd_w8m, tabs.inv_w8m,
+        tabs.fwd_bias_row, tabs.inv_bias_row,
     ]
 
     def step(a_ms, bsk_step, acc_hi, acc_lo):
@@ -862,7 +928,8 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1,
                 full((log_n, n)),
                 full((P, n_small, min(128, n))), full((P, n_small, min(128, n))),
                 full((P, n_small, min(128, n))), full((P, n_small, min(128, n))),
-                full((P, 4, 512, 128)), full((P, 4, 512, 128)),
+                full((P, 512, 512)), full((P, 512, 512)),
+                full((P, 128)), full((P, 128)),
                 acc_spec, acc_spec,
             ],
             out_specs=(acc_spec, acc_spec),
@@ -870,7 +937,7 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1,
                 jax.ShapeDtypeStruct((R, B, n), jnp.uint32),
                 jax.ShapeDtypeStruct((R, B, n), jnp.uint32),
             ),
-            input_output_aliases={17: 0, 18: 1},
+            input_output_aliases={19: 0, 20: 1},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),

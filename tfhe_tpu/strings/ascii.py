@@ -645,6 +645,270 @@ class StringServerKey:
             capacity=s.capacity,
         )
 
+    # -- generic pattern / conditional select ---------------------------------
+    def _pat(self, p) -> FheAsciiString:
+        """GenericPattern analog (strings/ciphertext GenericPatternRef): a
+        clear ``str`` becomes a trivial encryption; an FheAsciiString passes
+        through. An empty clear pattern becomes a 1-slot all-null buffer
+        (the padded-null match predicate treats it as empty)."""
+        if isinstance(p, FheAsciiString):
+            return p
+        return self.encrypt_trivial(p, max(len(p), 1))
+
+    def _trivial_bool(self, v: bool, like: RadixCiphertext) -> BooleanBlock:
+        z = self.key._trivial_radix(1 if v else 0, 1, like)
+        return BooleanBlock(ct=z.ct[..., 0, :])
+
+    def _bool_to_radix(self, b: BooleanBlock, nb: int, like: RadixCiphertext
+                       ) -> RadixCiphertext:
+        """0/1 radix value from a boolean block (boolean_value.rs
+        into_radix)."""
+        import jax.numpy as jnp
+
+        sk = self.key
+        blk = sk._trivial_radix(0, nb, like)
+        ct = blk.ct.at[..., 0, :].set(b.ct)
+        degs = np.zeros(nb, dtype=np.int64)
+        degs[0] = 1
+        noises = np.zeros(nb, dtype=np.int64)
+        noises[0] = 1
+        return blk.with_ct(ct, degrees=degs, noise_levels=noises)
+
+    def conditional_string(self, cond: BooleanBlock, a: FheAsciiString,
+                           b: FheAsciiString) -> FheAsciiString:
+        """cond ? a : b, capacity-aligned (server_key/mod.rs
+        conditional_string)."""
+        cap = max(a.capacity, b.capacity)
+        a = self._resize(a, cap)
+        b = self._resize(b, cap)
+        out = self.key.if_then_else(cond, a.chars, b.chars)
+        return FheAsciiString(chars=out, capacity=cap)
+
+    def pat_is_empty(self, p: FheAsciiString) -> BooleanBlock:
+        return self.key.scalar_eq(self._char_at(p, 0), 0)
+
+    # -- rfind / eq_ignore_case ----------------------------------------------
+    def rfind(self, s: FheAsciiString, p):
+        """(index, found) of the LAST match (pattern/find.rs rfind): forward
+        cmux scan keeps the last matching offset; an empty pattern's last
+        match is at len(s) (not at the padded capacity)."""
+        sk = self.key
+        p = self._pat(p)
+        like = self._char_at(s, 0)
+        idx = sk._trivial_radix(0, CHAR_BLOCKS, like)
+        found = None
+        for off in range(0, s.capacity + 1):
+            m = self._match_at(s, p, off)
+            off_ct = sk._trivial_radix(off, CHAR_BLOCKS, like)
+            idx = sk.if_then_else(m, off_ct, idx)
+            found = m if found is None else sk.boolean_bitor(found, m)
+        empty = self.pat_is_empty(p)
+        real_len = sk.cast_to_num_blocks(self.len(s), CHAR_BLOCKS)
+        idx = sk.if_then_else(empty, real_len, idx)
+        return idx, found
+
+    def eq_ignore_case(self, a: FheAsciiString, b: FheAsciiString) -> BooleanBlock:
+        """Case-insensitive equality (comp.rs eq_ignore_case)."""
+        return self.eq(self.to_lowercase(a), self.to_lowercase(b))
+
+    # -- splitting at an encrypted index (pattern/split/mod.rs) ---------------
+    def split_pat_at_index(self, s: FheAsciiString, p, index: RadixCiphertext,
+                           inclusive: bool):
+        """(lhs, rhs): lhs keeps chars below ``index`` (plus the pattern when
+        ``inclusive``), rhs starts after the pattern — realized with the
+        right-then-left shift trick of the reference
+        (split/mod.rs split_pat_at_index)."""
+        sk = self.key
+        p = self._pat(p)
+        like = self._char_at(s, 0)
+        pat_len = sk.cast_to_num_blocks(self.len(p), CHAR_BLOCKS)
+        cap_ct = sk._trivial_radix(s.capacity, CHAR_BLOCKS, like)
+        shift_right = sk.sub_parallelized(cap_ct, index)
+        if inclusive:
+            shift_right = sk.sub_parallelized(shift_right, pat_len)
+        lhs = self._shift_chars_left(
+            self._shift_chars_right(s, shift_right), shift_right
+        )
+        rhs = self._shift_chars_left(s, sk.add_parallelized(pat_len, index))
+        return lhs, rhs
+
+    def split_once(self, s: FheAsciiString, p):
+        """(lhs, rhs, split_occurred) at the FIRST occurrence
+        (split/mod.rs split_once)."""
+        p = self._pat(p)
+        idx, is_match = self.find(s, p)
+        lhs, rhs = self.split_pat_at_index(s, p, idx, False)
+        return lhs, rhs, is_match
+
+    def rsplit_once(self, s: FheAsciiString, p):
+        """(lhs, rhs, split_occurred) at the LAST occurrence."""
+        p = self._pat(p)
+        idx, is_match = self.rfind(s, p)
+        lhs, rhs = self.split_pat_at_index(s, p, idx, False)
+        return lhs, rhs, is_match
+
+    # -- split iterators -------------------------------------------------------
+    def split(self, s: FheAsciiString, p) -> "FheStringIterator":
+        return _SplitInternal(self, s, self._pat(p), "split")
+
+    def rsplit(self, s: FheAsciiString, p) -> "FheStringIterator":
+        return _SplitInternal(self, s, self._pat(p), "rsplit")
+
+    def splitn(self, s: FheAsciiString, p, n, max_n: Optional[int] = None):
+        return _SplitN(self, s, self._pat(p), "split", n, max_n)
+
+    def rsplitn(self, s: FheAsciiString, p, n, max_n: Optional[int] = None):
+        return _SplitN(self, s, self._pat(p), "rsplit", n, max_n)
+
+    def split_terminator(self, s: FheAsciiString, p) -> "FheStringIterator":
+        return _SplitNoTrailing(self, s, self._pat(p), "split")
+
+    def split_inclusive(self, s: FheAsciiString, p) -> "FheStringIterator":
+        return _SplitNoTrailing(self, s, self._pat(p), "inclusive")
+
+    def rsplit_terminator(self, s: FheAsciiString, p) -> "FheStringIterator":
+        return _SplitNoLeading(self, s, self._pat(p))
+
+    def split_ascii_whitespace(self, s: FheAsciiString) -> "FheStringIterator":
+        return _SplitAsciiWhitespace(self, s)
+
+    # -- encrypted-pattern strip (pattern/strip.rs) ---------------------------
+    def strip_prefix(self, s: FheAsciiString, p):
+        """(result, stripped) for an encrypted (or clear) prefix pattern."""
+        sk = self.key
+        p = self._pat(p)
+        m = self.starts_with(s, p)
+        like = self._char_at(s, 0)
+        pat_len = sk.cast_to_num_blocks(self.len(p), CHAR_BLOCKS)
+        zero = sk._trivial_radix(0, CHAR_BLOCKS, like)
+        amt = sk.if_then_else(m, pat_len, zero)
+        return self._shift_chars_left(s, amt), m
+
+    def strip_suffix(self, s: FheAsciiString, p):
+        """(result, stripped): erase the last len(p) real chars when the
+        encrypted pattern terminates s."""
+        sk = self.key
+        p = self._pat(p)
+        m = self.ends_with(s, p)
+        slen = sk.cast_to_num_blocks(self.len(s), CHAR_BLOCKS)
+        plen = sk.cast_to_num_blocks(self.len(p), CHAR_BLOCKS)
+        start = sk.sub_parallelized(slen, plen)  # only used when m
+        import jax.numpy as jnp
+
+        zero = sk._trivial_radix(0, CHAR_BLOCKS, self._char_at(s, 0))
+        outs = []
+        for i in range(s.capacity):
+            ge = sk.scalar_le(start, i)  # start <= i
+            erase = sk.boolean_bitand(m, ge)
+            outs.append(sk.if_then_else(erase, zero, self._char_at(s, i)))
+        ct = jnp.stack([o.ct for o in outs], axis=0)
+        res = FheAsciiString(
+            chars=s.chars.with_ct(
+                ct, degrees=outs[0].degrees, noise_levels=outs[0].noise_levels
+            ),
+            capacity=s.capacity,
+        )
+        return res, m
+
+    # -- repeat (no_patterns.rs repeat) ---------------------------------------
+    def _concat_at(self, base: FheAsciiString, piece: FheAsciiString,
+                   pos: RadixCiphertext) -> FheAsciiString:
+        """base with ``piece`` added at encrypted char position ``pos``
+        (positions there must currently be null)."""
+        sk = self.key
+        shifted = self._shift_chars_right(
+            self._resize(piece, base.capacity), pos
+        )
+        merged = sk.add_parallelized(base.chars, shifted.chars)
+        return FheAsciiString(chars=merged, capacity=base.capacity)
+
+    def repeat(self, s: FheAsciiString, n, max_n: Optional[int] = None
+               ) -> FheAsciiString:
+        """s repeated n times; n is a clear int or an encrypted count with a
+        clear ``max_n`` bound (UIntArg::Enc semantics)."""
+        sk = self.key
+        like = self._char_at(s, 0)
+        if isinstance(n, int):
+            reps, n_ct = n, None
+        else:
+            assert max_n is not None, "encrypted repeat count needs max_n"
+            reps, n_ct = max_n, n
+        out_cap = max(1, s.capacity * max(reps, 1))
+        out = self.encrypt_trivial("", out_cap)
+        slen = sk.cast_to_num_blocks(self.len(s), CHAR_BLOCKS)
+        pos = sk._trivial_radix(0, CHAR_BLOCKS, like)
+        for k in range(reps):
+            cand = self._concat_at(out, s, pos)
+            npos = sk.add_parallelized(pos, slen)
+            if n_ct is None:
+                out, pos = cand, npos
+            else:
+                act = sk.scalar_gt(n_ct, k)
+                out = self.conditional_string(act, cand, out)
+                pos = sk.if_then_else(act, npos, pos)
+        return out
+
+    # -- encrypted-pattern replace (pattern/replace.rs) -----------------------
+    def replace(self, s: FheAsciiString, frm, to,
+                out_capacity: Optional[int] = None) -> FheAsciiString:
+        return self.replacen(s, frm, to, None, out_capacity=out_capacity)
+
+    def replacen(self, s: FheAsciiString, frm, to, n,
+                 max_n: Optional[int] = None,
+                 out_capacity: Optional[int] = None) -> FheAsciiString:
+        """Replace up to n (clear int, encrypted count with clear ``max_n``,
+        or None = all) non-overlapping occurrences, left to right
+        (replace.rs replace_n_times): each round finds the first match past
+        the replaced prefix, splices ``to`` in via shifts, and advances the
+        skip index; an empty ``frm`` inserts ``to`` between chars (Rust
+        semantics) and stops after len(s)+1 insertions."""
+        sk = self.key
+        frm = self._pat(frm)
+        to = self._pat(to)
+        like = self._char_at(s, 0)
+        rounds = s.capacity + 1
+        if isinstance(n, int):
+            rounds = min(rounds, n)
+            n_ct = None
+        elif n is None:
+            n_ct = None
+        else:
+            assert max_n is not None, "encrypted replace count needs max_n"
+            rounds = min(rounds, max_n)
+            n_ct = n
+        out_cap = out_capacity or (s.capacity + to.capacity * rounds)
+        state = self._resize(s, out_cap)
+        frm_empty = self.pat_is_empty(frm)
+        frm_empty_r = self._bool_to_radix(frm_empty, CHAR_BLOCKS, like)
+        to_len = sk.cast_to_num_blocks(self.len(to), CHAR_BLOCKS)
+        s_len = sk.cast_to_num_blocks(self.len(s), CHAR_BLOCKS)
+        skip = sk._trivial_radix(0, CHAR_BLOCKS, like)
+        enabled = self._trivial_bool(True, like)
+        for r in range(rounds):
+            suffix = self._shift_chars_left(state, skip)
+            idx0, found = self.find(suffix, frm)
+            idx = sk.add_parallelized(idx0, skip)
+            act = sk.boolean_bitand(found, enabled)
+            if n_ct is not None:
+                act = sk.boolean_bitand(act, sk.scalar_gt(n_ct, r))
+            # empty-pattern termination: at most len(s)+1 insertions
+            # (replace.rs no_more_matches)
+            lim = sk.boolean_bitor(
+                sk.boolean_bitnot(frm_empty), sk.scalar_ge(s_len, r)
+            )
+            act = sk.boolean_bitand(act, lim)
+            lhs, rhs = self.split_pat_at_index(state, frm, idx, False)
+            cand = self._concat_at(lhs, to, idx)
+            rhs_pos = sk.add_parallelized(idx, to_len)
+            cand = self._concat_at(cand, rhs, rhs_pos)
+            state = self.conditional_string(act, cand, state)
+            nskip = sk.add_parallelized(
+                sk.add_parallelized(idx, to_len), frm_empty_r
+            )
+            skip = sk.if_then_else(act, nskip, skip)
+            enabled = act
+        return state
+
     def encrypt_trivial(self, text: str, capacity: int) -> FheAsciiString:
         """Trivial (noiseless) encryption of a clear string — server-side
         constant (strings/server_key trivial encryptions)."""
@@ -672,3 +936,196 @@ class StringServerKey:
             carry_modulus=sk.params.carry_modulus,
         )
         return FheAsciiString(chars=ct, capacity=capacity)
+
+
+# ---------------------------------------------------------------------------
+# split iterators (strings/server_key/pattern/split/, trim.rs)
+# ---------------------------------------------------------------------------
+
+class FheStringIterator:
+    """Reference ``FheStringIterator`` (server_key/mod.rs:363): each ``next``
+    returns ``(FheAsciiString, BooleanBlock)`` — the substring and an
+    encrypted Some/None flag."""
+
+    def next(self):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def collect(self, n: int):
+        """Convenience: the first ``n`` (value, is_some) pairs."""
+        return [self.next() for _ in range(n)]
+
+
+class _SplitInternal(FheStringIterator):
+    """SplitInternal (split/mod.rs:335-440): forward or reverse splitting;
+    after the last match the remaining state is returned wrapped in Some."""
+
+    def __init__(self, sk: StringServerKey, s: FheAsciiString,
+                 pat: FheAsciiString, split_type: str):
+        self.sk = sk
+        self.split_type = split_type
+        self.state = s
+        self.pat = pat
+        like = sk._char_at(s, 0)
+        self._like = like
+        self.prev_was_some = sk._trivial_bool(True, like)
+        self.counter = 0
+        k = sk.key
+        self.max_counter = k.scalar_add(
+            k.cast_to_num_blocks(sk.len(s), CHAR_BLOCKS), 1
+        )
+        self.counter_lt_max = sk._trivial_bool(True, like)
+
+    def next(self):
+        sk = self.sk
+        k = sk.key
+        rsplit = self.split_type == "rsplit"
+        if rsplit:
+            idx, is_some = sk.rfind(self.state, self.pat)
+        else:
+            idx, is_some = sk.find(self.state, self.pat)
+        if self.counter > 0:
+            # empty pattern: manually advance the split index (an empty
+            # pattern always matches at the very start/end)
+            pe = sk._bool_to_radix(
+                sk.pat_is_empty(self.pat), CHAR_BLOCKS, self._like
+            )
+            if rsplit:
+                idx = k.sub_parallelized(idx, pe)
+            else:
+                idx = k.add_parallelized(idx, pe)
+        inclusive = self.split_type == "inclusive"
+        lhs, rhs = sk.split_pat_at_index(self.state, self.pat, idx, inclusive)
+        current_is_some = is_some
+        if rsplit:
+            result = sk.conditional_string(current_is_some, rhs, self.state)
+            self.state = lhs
+        else:
+            result = sk.conditional_string(current_is_some, lhs, self.state)
+            self.state = rhs
+        is_some = k.boolean_bitor(is_some, self.prev_was_some)
+        is_some = k.boolean_bitand(is_some, self.counter_lt_max)
+        self.prev_was_some = current_is_some
+        self.counter_lt_max = k.scalar_gt(self.max_counter, self.counter)
+        self.counter += 1
+        return result, is_some
+
+
+class _SplitN(FheStringIterator):
+    """SplitNInternal: at most n items; the n-th wraps the remaining state."""
+
+    def __init__(self, sk, s, pat, split_type, n, max_n):
+        self.internal = _SplitInternal(sk, s, pat, split_type)
+        self.sk = sk
+        self.n = n
+        self.counter = 0
+        like = sk._char_at(s, 0)
+        if isinstance(n, int):
+            self.not_exceeded = sk._trivial_bool(n != 0, like)
+        else:
+            self.not_exceeded = sk.key.scalar_ne(n, 0)
+
+    def next(self):
+        sk = self.sk
+        k = sk.key
+        state = self.internal.state
+        result, is_some = self.internal.next()
+        is_some = k.boolean_bitand(is_some, self.not_exceeded)
+        if isinstance(self.n, int):
+            if self.counter + 1 >= self.n:
+                result = state
+                self.not_exceeded = sk._trivial_bool(False, sk._char_at(state, 0))
+        else:
+            exceeded = k.scalar_le(k.scalar_sub(self.n, 1), self.counter)
+            result = sk.conditional_string(exceeded, state, result)
+            self.not_exceeded = k.boolean_bitand(
+                self.not_exceeded, k.boolean_bitnot(exceeded)
+            )
+        self.counter += 1
+        return result, is_some
+
+
+class _SplitNoTrailing(FheStringIterator):
+    """SplitNoTrailing: drops a trailing empty item (split_terminator,
+    split_inclusive)."""
+
+    def __init__(self, sk, s, pat, split_type):
+        self.sk = sk
+        self.internal = _SplitInternal(sk, s, pat, split_type)
+        # max_counter = len (not len+1): the trailing item is dropped
+        self.internal.max_counter = sk.key.cast_to_num_blocks(
+            sk.len(s), CHAR_BLOCKS
+        )
+
+    def next(self):
+        sk = self.sk
+        k = sk.key
+        result, is_some = self.internal.next()
+        result_is_empty = sk.is_empty(result)
+        prev_was_none = k.boolean_bitnot(self.internal.prev_was_some)
+        trailing_empty = k.boolean_bitand(result_is_empty, prev_was_none)
+        is_some = k.boolean_bitand(is_some, k.boolean_bitnot(trailing_empty))
+        return result, is_some
+
+
+class _SplitNoLeading(FheStringIterator):
+    """SplitNoLeading: drops a leading empty item (rsplit_terminator) by
+    computing one next() ahead."""
+
+    def __init__(self, sk, s, pat):
+        self.sk = sk
+        self.internal = _SplitInternal(sk, s, pat, "rsplit")
+        self.prev_return = self.internal.next()
+        self.leading_empty = sk.is_empty(self.prev_return[0])
+
+    def next(self):
+        sk = self.sk
+        k = sk.key
+        result, is_some = self.internal.next()
+        ret_res = sk.conditional_string(
+            self.leading_empty, result, self.prev_return[0]
+        )
+        lhs = k.boolean_bitand(self.leading_empty, is_some)
+        rhs = k.boolean_bitand(
+            k.boolean_bitnot(self.leading_empty), self.prev_return[1]
+        )
+        ret_some = k.boolean_bitor(lhs, rhs)
+        self.prev_return = (result, is_some)
+        return ret_res, ret_some
+
+
+class _SplitAsciiWhitespace(FheStringIterator):
+    """split_ascii_whitespace (trim.rs:375): tokens between whitespace runs;
+    never yields empty items."""
+
+    def __init__(self, sk, s):
+        self.sk = sk
+        self.state = s
+
+    def next(self):
+        import jax.numpy as jnp
+
+        sk = self.sk
+        k = sk.key
+        state = sk.trim_start(self.state)
+        is_some = k.boolean_bitnot(sk.is_empty(state))
+        # token = chars before the first whitespace; mask out the rest
+        seen = None
+        conds = []
+        for i in range(state.capacity):
+            w = sk._is_whitespace(sk._char_at(state, i))
+            seen = w if seen is None else k.boolean_bitor(seen, w)
+            conds.append(seen)
+        zero = k._trivial_radix(0, CHAR_BLOCKS, sk._char_at(state, 0))
+        outs = []
+        for i in range(state.capacity):
+            outs.append(k.if_then_else(conds[i], zero, sk._char_at(state, i)))
+        ct = jnp.stack([o.ct for o in outs], axis=0)
+        token = FheAsciiString(
+            chars=state.chars.with_ct(
+                ct, degrees=outs[0].degrees, noise_levels=outs[0].noise_levels
+            ),
+            capacity=state.capacity,
+        )
+        tok_len = k.cast_to_num_blocks(sk.len(token), CHAR_BLOCKS)
+        self.state = sk._shift_chars_left(state, tok_len)
+        return token, is_some
