@@ -26,11 +26,18 @@ Layer map (mirrors reference ``tfhe/src/``):
     utils/      — params, encoding, CSPRNG, serialization, keycache
 """
 
-import jax as _jax
-
 # The torus is Z_{2^64}: we need native uint64 arrays everywhere. On TPU, XLA
 # emulates 64-bit integers on 32-bit lanes; hot kernels are specialized later.
-_jax.config.update("jax_enable_x64", True)
+# JAX is optional at import time: the thin-client surface
+# (:mod:`tfhe_tpu.client`, the js_on_wasm_api analog) runs numpy-only where
+# JAX isn't installed (e.g. pyodide); every server-side module still requires
+# it and will raise on use.
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+except ImportError:  # client-only environment
+    _jax = None
 
 __version__ = "0.1.0"
 

@@ -18,7 +18,10 @@ the two's-complement bit pattern; the bit patterns are identical.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+try:
+    import jax.numpy as jnp
+except ImportError:  # thin-client (tfhe_tpu.client) environment: numpy-only paths
+    jnp = None
 import numpy as np
 
 

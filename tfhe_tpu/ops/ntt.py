@@ -35,7 +35,10 @@ from __future__ import annotations
 import functools
 from typing import Sequence
 
-import jax.numpy as jnp
+try:
+    import jax.numpy as jnp
+except ImportError:  # thin-client (tfhe_tpu.client) environment: numpy-only paths
+    jnp = None
 import numpy as np
 
 # The five ~30-bit NTT-friendly primes of tfhe-ntt native64::Plan32

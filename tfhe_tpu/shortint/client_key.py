@@ -79,7 +79,7 @@ class ClientKey:
     # -- encrypt / decrypt ----------------------------------------------------
     def encrypt(self, values) -> ShortintCiphertext:
         """Encrypt message(s) (scalar or array-like -> batched ciphertext)."""
-        import jax.numpy as jnp
+        from ..utils.hostarray import asarray as _wrap
 
         vals = np.atleast_1d(np.asarray(values, dtype=np.uint64))
         enc = self.encoding
@@ -90,7 +90,7 @@ class ClientKey:
         if np.isscalar(values) or np.asarray(values).ndim == 0:
             cts = cts[0]
         return ShortintCiphertext(
-            ct=jnp.asarray(cts),
+            ct=_wrap(cts),
             degree=self.params.message_modulus - 1,
             noise_level=NOMINAL_NOISE,
             message_modulus=self.params.message_modulus,

@@ -163,11 +163,11 @@ class CompactCiphertextList:
     def expand_to_shortint(self) -> ShortintCiphertext:
         """Expanded ciphertexts as a batched shortint ct under the CPK key
         (cast to compute params with a KeySwitchingKey before computing)."""
-        import jax.numpy as jnp
+        from ..utils.hostarray import asarray as _wrap
 
         p = self.params
         return ShortintCiphertext(
-            ct=jnp.asarray(self.expand()),
+            ct=_wrap(self.expand()),
             degree=self.degree,
             noise_level=NOMINAL_NOISE,
             message_modulus=p.message_modulus,
