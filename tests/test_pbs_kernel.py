@@ -94,8 +94,10 @@ def test_step_kernel_emulation_bit_exact(jnp_roll_mode, use_mxu):
     assert np.array_equal(ref, got)
 
 
-def test_blind_rotate_pallas_interpret_bit_exact():
+@pytest.mark.parametrize("variant", ["v1", "v2", "v4"])
+def test_blind_rotate_pallas_interpret_bit_exact(variant, monkeypatch):
     """One real pallas_call (interpret mode on CPU) over a short scan."""
+    monkeypatch.setenv("TFHE_NTT_VARIANT", variant)
     plan = ntt_mod.get_plan(N, P)
     rng = np.random.default_rng(7)
     n_steps = 4
@@ -108,6 +110,44 @@ def test_blind_rotate_pallas_interpret_bit_exact():
         lut, mask, body, pk.bsk_to_scan_layout(bsk), BL, L, plan
     )
     assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_v4_point_order_and_transform_roundtrip():
+    """The v4 frequency map and fwd/inv contract, against plan order."""
+    plan = ntt_mod.get_plan(N, P)
+    tabs4 = pk._get_tables_v4(N, P, BL)
+    G = N // 128
+    rng = np.random.default_rng(5)
+    # small signed digits through the v4 forward == permuted plan.fwd_digits
+    d = rng.integers(-(1 << (BL - 1)), (1 << (BL - 1)) + 1,
+                     size=(8, N), dtype=np.int64)
+    ref_pts = np.asarray(plan.fwd_digits(jnp.asarray(d)))  # [P, 8, N]
+    d3 = jnp.moveaxis(
+        pk.to_transposed_layout(jnp.asarray(d).astype(jnp.int32), G), 1, 0)
+    t4c = {
+        "fwd_w8": jnp.asarray(tabs4.fwd_w8), "inv_w8": jnp.asarray(tabs4.inv_w8),
+        "tw": jnp.asarray(tabs4.tw), "tw_inv": jnp.asarray(tabs4.tw_inv),
+        "gw_fwd": jnp.asarray(tabs4.gw_fwd), "gw_inv": jnp.asarray(tabs4.gw_inv),
+        "inv_bias": jnp.asarray(tabs4.inv_bias), "log_g": tabs4.log_g,
+        "mxu_consts": tuple(
+            (int(tabs4.c16[i]), int(tabs4.c16_sh[i]), int(tabs4.one_sh[i]))
+            for i in range(P)),
+    }
+    Ld = pk._split_digits_i8(d3, tabs4.nl_in, tabs4.in_offset)
+    for pi in range(P):
+        p = np.uint32(plan.primes[pi])
+        p2 = np.uint32(2 * int(plan.primes[pi]))
+        got = np.asarray(pk._fwd_ntt_v4(Ld, pi, t4c, p, p2, 8, G)) % int(p)
+        got_flat = np.moveaxis(got, 0, 1).reshape(8, G * 128)
+        exp = ref_pts[pi][:, tabs4.perm_from_plan]
+        assert np.array_equal(got_flat, exp.astype(np.uint32))
+        # inverse returns the standard-domain digits (canonical residues)
+        back = np.asarray(pk._inv_ntt_v4(
+            jnp.asarray(got.astype(np.uint32)), pi, t4c, p, p2, 8, G))
+        want = np.where(d < 0, d + int(p), d).astype(np.uint32)
+        assert np.array_equal(
+            np.asarray(pk.from_transposed_layout(
+                jnp.moveaxis(jnp.asarray(back), 0, 1))), want)
 
 
 def test_layout_roundtrip():

@@ -948,6 +948,527 @@ def _build_step_fn(n, num_primes, base_log, levels, R, batch_tile, unroll=1,
 
 
 # ---------------------------------------------------------------------------
+# v4: transposed four-step NTT kernel
+# ---------------------------------------------------------------------------
+#
+# Coefficients live in TRANSPOSED block layout: a polynomial a_0..a_{N-1} is
+# stored as A[j1, j2] = a[j1 + G*j2] with G = N/128 groups (sublane-direction
+# axis) and j2 in [0, 128) on lanes.  Writing j = j1 + G*j2 and splitting the
+# frequency index k = k2 + 128*k1 (k2 in [0,128), k1 in [0,G)), the negacyclic
+# NTT  X[k] = sum_j a_j psi^j omega^{jk}  factors as
+#
+#   X[k2 + 128 k1] = DFT_G over j1 [ psi^{j1} omega^{j1 k2} *
+#                        sum_{j2} (psi^{G j2} omega^{G j2 k2}) A[j1, j2] ]
+#
+# i.e. (1) a lane-axis DFT_128 with the psi-twist folded into its matrix —
+# executed as ONE int8 MXU matmul directly on the raw gadget-decomposition
+# digits (which need only ceil((base_log+1)/8) <= 3 int8 limbs, vs 4 for
+# full-size residues); (2) a twiddle multiply fused into the limb
+# recombination (the (j1,k2)-diagonal rides the two Shoup reductions for
+# free); (3) log2(G) butterfly stages along the GROUP axis with scalar
+# twiddles.  The inverse mirrors the three steps with psi^{-G j2}/128 folded
+# into the inverse matrix and psi^{-j1}/G into the inverse twiddle.
+#
+# Wins vs v3 (measured rationale in PERF_NOTES.md): no flat<->block
+# relayouts anywhere (the accumulator, rotation and CRT all live in the
+# transposed layout), a 25% smaller forward matmul fed by a single
+# prime-independent limb split, and two fewer VPU Shoup multiplies per
+# element (separate twist and recombination reductions are gone).
+# Same mathematical contract as ggsw.rs:483-640 external products inside
+# bootstrap.rs:294-381 blind rotation (reference file:line cites).
+
+
+class _KernelTablesV4:
+    """Tables for the v4 transposed four-step kernel (per N, primes, blog)."""
+
+    def __init__(self, plan: ntt_mod.NegacyclicNtt, base_log: int):
+        n = plan.n
+        assert n % 128 == 0 and n >= 256
+        G = n // 128
+        self.G = G
+        self.log_g = G.bit_length() - 1
+        P = plan.num_primes
+        self.plan = plan
+        self.base_log = base_log
+        # number of int8 limbs for a balanced digit |d| <= 2^(blog-1),
+        # offset-split of u = d + 2^(blog-1) in [0, 2^blog]
+        self.nl_in = max(1, -(-(base_log + 1) // 8))
+        self.in_offset = 1 << (base_log - 1)
+
+        psi = [ntt_mod._psi_root(p, 2 * n) for p in plan.primes]
+
+        fwd_w8, fwd_bias = [], []
+        inv_w8, inv_bias = [], []
+        t_tw, t_tw16, t_inv = [], [], []
+        gw_f, gw_i = [], []
+        for pi, p in enumerate(plan.primes):
+            ps = int(psi[pi])
+            om = (ps * ps) % p  # order N
+            # M[j2, k2] = psi^{G j2} * omega^{G j2 k2} = psi^{G j2 (1+2 k2)}
+            M = np.array(
+                [[pow(ps, int(G * jj * (1 + 2 * kk)) % (2 * n), p)
+                  for kk in range(128)] for jj in range(128)],
+                dtype=object,
+            )
+            W, bias = _merged_limb_matrix_generic(
+                M, p, self.nl_in, self.in_offset, max_in=self.in_offset)
+            fwd_w8.append(W)
+            fwd_bias.append(bias)
+            # inverse matrix Minv[k2, j2] = (1/128) psi^{-G j2} omega^{-G j2 k2}
+            inv128 = pow(128, p - 2, p)
+            Minv = np.array(
+                [[(pow(ps, 2 * n - (int(G * jj * (1 + 2 * kk)) % (2 * n)), p)
+                   * inv128) % p
+                  for jj in range(128)] for kk in range(128)],
+                dtype=object,
+            )
+            Wi, bias_i = _merged_limb_matrix_generic(
+                Minv, p, 4, 0, max_in=p - 1)
+            inv_w8.append(Wi)
+            inv_bias.append(bias_i)
+            # twiddle T[j1, k2] = psi^{j1} omega^{j1 k2} = psi^{j1 (1+2 k2)}
+            T = np.array(
+                [[pow(ps, (jj * (1 + 2 * kk)) % (2 * n), p) for kk in range(128)]
+                 for jj in range(G)], dtype=object)
+            T16 = (T * pow(2, 16, p)) % p
+            invG = pow(G, p - 2, p)
+            Tinv = np.array(
+                [[(pow(ps, 2 * n - ((jj * (1 + 2 * kk)) % (2 * n)), p) * invG) % p
+                  for kk in range(128)] for jj in range(G)], dtype=object)
+            # fwd bias folded through the twiddle: biasT = bias[k2]*T[j1,k2]
+            biasT = (T * bias[None, :].astype(object)) % p
+            t_tw.append(np.stack([
+                T.astype(np.uint64), _shoup_obj(T, p),
+                T16.astype(np.uint64), _shoup_obj(T16, p),
+                biasT.astype(np.uint64)]))
+            t_inv.append(np.stack([
+                Tinv.astype(np.uint64), _shoup_obj(Tinv, p)]))
+            # group-stage twiddles: DIF over j1 with omega_G = omega^128
+            wg = pow(om, 128, p)
+            fs, is_ = [], []
+            for s in range(self.log_g):
+                m = G >> s
+                h = m >> 1
+                wm = pow(wg, G // m, p)
+                wmi = pow(wm, p - 2, p)
+                row_f = np.zeros(G, dtype=object)
+                row_i = np.zeros(G, dtype=object)
+                wj, wji = 1, 1
+                for j in range(h):
+                    # same twiddle for every block at offset h+j
+                    for b in range(G // m):
+                        row_f[b * m + h + j] = wj
+                        row_i[b * m + h + j] = wji
+                    wj = (wj * wm) % p
+                    wji = (wji * wmi) % p
+                fs.append(np.stack([np.array(row_f, dtype=np.uint64),
+                                    _shoup_obj(row_f, p)]))
+                is_.append(np.stack([np.array(row_i, dtype=np.uint64),
+                                     _shoup_obj(row_i, p)]))
+            gw_f.append(np.stack(fs) if fs else np.zeros((0, 2, G), np.uint64))
+            gw_i.append(np.stack(is_) if is_ else np.zeros((0, 2, G), np.uint64))
+        # lane-replicate the group twiddles ([G] -> [G, 128]) so in-kernel
+        # slices broadcast over the sublane axis only (Mosaic-friendly)
+        gw_f = [np.repeat(a[..., None], 128, axis=-1) for a in gw_f]
+        gw_i = [np.repeat(a[..., None], 128, axis=-1) for a in gw_i]
+
+        self.fwd_w8 = np.stack(fwd_w8)          # [P, nl_in*128, 512] i8
+        self.inv_w8 = np.stack(inv_w8)          # [P, 512, 512] i8
+        self.inv_bias = np.stack(inv_bias).astype(np.uint32)   # [P, 128]
+        self.tw = np.stack(t_tw).astype(np.uint32)    # [P, 5, G, 128]
+        self.tw_inv = np.stack(t_inv).astype(np.uint32)  # [P, 2, G, 128]
+        self.gw_fwd = np.stack(gw_f).astype(np.uint32)  # [P, log_g, 2, G, 128]
+        self.gw_inv = np.stack(gw_i).astype(np.uint32)
+        self.c16 = np.array([(1 << 16) % p for p in plan.primes], np.uint32)
+        self.c16_sh = np.array(
+            [(((1 << 16) % p) << 32) // p for p in plan.primes], np.uint32)
+        self.one_sh = np.array([(1 << 32) // p for p in plan.primes], np.uint32)
+
+        # standard->v4 frequency permutation (shared across primes):
+        # v4 point (g, l) holds frequency k = l + 128*bitrev_logG(g); the
+        # legacy plan's DIF output position q holds frequency bitrev_logN(q).
+        log_n = n.bit_length() - 1
+        br = np.array([int(format(q, f"0{log_n}b")[::-1], 2) for q in range(n)])
+        plan_pos_of_freq = np.argsort(br)  # freq -> plan position
+        brg = np.array(
+            [int(format(g, f"0{self.log_g}b")[::-1], 2) if self.log_g else 0
+             for g in range(G)])
+        freq_v4 = (np.arange(128)[None, :] + 128 * brg[:, None]).reshape(-1)
+        self.perm_from_plan = plan_pos_of_freq[freq_v4]  # [G*128]
+
+
+def _shoup_obj(tbl, p: int) -> np.ndarray:
+    flat = [int(x) for x in np.asarray(tbl, dtype=object).reshape(-1)]
+    out = np.array([(x << 32) // p for x in flat], dtype=np.uint64)
+    return out.reshape(np.asarray(tbl).shape)
+
+
+def _merged_limb_matrix_generic(M, p: int, nl_in: int, in_offset: int,
+                                max_in: int):
+    """Merged int8 limb matrix for ``out = in @ M mod p``.
+
+    ``M``: [C, 128] python-int matrix (C = contraction length).  Input values
+    v (0 <= v <= max_in after adding ``in_offset``... i.e. u = v + in_offset
+    with u in [0, in_offset + max_in]) are offset-split into ``nl_in`` int8
+    limbs d_j = ((u >> 8j) & 255) - 128.  Returns (W [nl_in*C, 512] int8,
+    bias [128] uint32) such that with U = L @ W (int32) and the pair-fold
+    V0 = U[:, :128] + 256*U[:, 128:256], V1 = U[:, 256:384] + 256*U[:, 384:],
+    the true value is (V0u + 2^16 V1u + bias) mod p where V?u = V? + 2^31
+    (asserted int32-exact via per-column absolute row sums).
+    """
+    C = M.shape[0]
+    assert in_offset + max_in < (1 << (8 * nl_in)), (in_offset, max_in, nl_in)
+    # src[j] = output-limb j of the stacked [2^{8a} M mod p] rows (balanced)
+    src = np.zeros((4, nl_in * C, 128), dtype=np.int8)
+    for a in range(nl_in):
+        Wa = np.vectorize(
+            lambda x: (int(x) << (8 * a)) % p, otypes=[object])(M)
+        Wab = np.vectorize(
+            lambda x: int(x) - p if int(x) > p // 2 else int(x),
+            otypes=[object])(Wa).astype(np.int64)
+        vv = Wab.copy()
+        for j in range(4):
+            d = vv & 255
+            d = np.where(d > 127, d - 256, d)
+            src[j, a * C:(a + 1) * C, :] = d.astype(np.int8)
+            vv = (vv - d) >> 8
+        assert np.all(vv == 0), "limb split residue"
+    W = np.concatenate([src[j] for j in range(4)], axis=1)  # [nl_in*C, 512]
+    # int32-exactness of the pair fold: |L| <= 128
+    bnd = [int((np.abs(src[j].astype(np.int64)).sum(axis=0) * 128).max())
+           for j in range(4)]
+    assert bnd[0] + 256 * bnd[1] < 2**31 - 1, bnd
+    assert bnd[2] + 256 * bnd[3] < 2**31 - 1, bnd
+    # bias: +2^31 un-biasing of the two folds, plus the limb-offset
+    # correction through the matrix column sums: true input
+    # v = sum_a d_a 2^{8a} + OFF with OFF = 128*sum_a 2^{8a} - in_offset.
+    off = 128 * sum(1 << (8 * a) for a in range(nl_in)) - in_offset
+    colsum = [sum(int(M[c, k]) for c in range(C)) for k in range(128)]
+    bias = np.zeros(128, dtype=np.uint32)
+    for k in range(128):
+        bias[k] = ((-(1 << 31) * (1 + (1 << 16)) + off * colsum[k]) % p)
+    return W, bias
+
+
+@functools.lru_cache(maxsize=None)
+def _get_tables_v4(n: int, num_primes: int, base_log: int) -> _KernelTablesV4:
+    return _KernelTablesV4(ntt_mod.get_plan(n, num_primes), base_log)
+
+
+def _split_digits_i8(d, nl_in: int, in_offset: int):
+    """Signed digits [G, Bt, 128] i32 (|d| <= in_offset) -> offset int8 limbs
+    [G*Bt, nl_in*128] (prime-independent)."""
+    g, bt, _ = d.shape
+    u = (d + I32(in_offset)).reshape(g * bt, 128)
+    limbs = [(((u >> I32(8 * j)) & I32(255)) - I32(128)).astype(jnp.int8)
+             for j in range(nl_in)]
+    return jnp.concatenate(limbs, axis=-1)
+
+
+def _pair_fold_u(U):
+    """[rows, 512] int32 -> biased u32 pair (V0u, V1u)."""
+    V0 = U[:, :128] + (U[:, 128:256] << I32(8))
+    V1 = U[:, 256:384] + (U[:, 384:512] << I32(8))
+    return (V0.astype(U32) + U32(0x80000000),
+            V1.astype(U32) + U32(0x80000000))
+
+
+def _fwd_ntt_v4(L, pi, t4c, p, p2, bt, G):
+    """Forward transform from pre-split digit limbs.
+
+    ``L``: [G*Bt, nl_in*128] int8.  Returns [G, Bt, 128] u32 < 2p in v4
+    point order (lane = k mod 128, group g holds k1 = bitrev(g)).
+    Group-leading layout: each [Bt, 128] slab is a native vreg tile, so the
+    group-axis butterflies are whole-register selects (no sublane shuffles).
+    """
+    U = lax.dot_general(L, t4c["fwd_w8"][pi], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    V0u, V1u = _pair_fold_u(U)
+    tw = t4c["tw"][pi]  # [5, G, 128]
+    V0u = V0u.reshape(G, bt, 128)
+    V1u = V1u.reshape(G, bt, 128)
+    s = _shoup(V0u, tw[0][:, None, :], tw[1][:, None, :], p)
+    s = s + _shoup(V1u, tw[2][:, None, :], tw[3][:, None, :], p)  # < 4p
+    s = _condsub(s, p2)
+    s = _condsub(s + tw[4][:, None, :], p2)  # < 2p
+    # group-axis DIF stages (slices on the leading axis)
+    for st in range(t4c["log_g"]):
+        h = (G >> st) >> 1
+        w = t4c["gw_fwd"][pi, st, 0][:, None, :]
+        wsh = t4c["gw_fwd"][pi, st, 1][:, None, :]
+        pieces = []
+        m = G >> st
+        for b in range(G // m):
+            a = s[b * m: b * m + h]
+            bb = s[b * m + h: (b + 1) * m]
+            u = _condsub(a + bb, p2)
+            t = a + p2 - bb
+            v = _shoup(t, w[b * m + h: (b + 1) * m],
+                       wsh[b * m + h: (b + 1) * m], p)
+            pieces.extend([u, v])
+        s = jnp.concatenate(pieces, axis=0)
+    return s
+
+
+def _inv_ntt_v4(y, pi, t4c, p, p2, bt, G):
+    """Inverse transform: [G, Bt, 128] u32 < 2p -> standard-domain
+    coefficients (transposed layout), canonical < p."""
+    for st in reversed(range(t4c["log_g"])):
+        h = (G >> st) >> 1
+        w = t4c["gw_inv"][pi, st, 0][:, None, :]
+        wsh = t4c["gw_inv"][pi, st, 1][:, None, :]
+        pieces = []
+        m = G >> st
+        for b in range(G // m):
+            u = y[b * m: b * m + h]
+            v = y[b * m + h: (b + 1) * m]
+            bw = _shoup(v, w[b * m + h: (b + 1) * m],
+                        wsh[b * m + h: (b + 1) * m], p)
+            pieces.append(_condsub(u + bw, p2))
+            pieces.append(_condsub(u + p2 - bw, p2))
+        y = jnp.concatenate(pieces, axis=0)
+    ti = t4c["tw_inv"][pi]
+    y = _shoup(y, ti[0][:, None, :], ti[1][:, None, :], p)  # < 2p
+    y = _condsub(y, p)
+    # 4-limb offset split + inverse matmul
+    limbs = [((((y.reshape(G * bt, 128)).astype(I32) >> I32(8 * j)) & I32(255))
+              - I32(128)).astype(jnp.int8) for j in range(4)]
+    L = jnp.concatenate(limbs, axis=-1)
+    U = lax.dot_general(L, t4c["inv_w8"][pi], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    V0u, V1u = _pair_fold_u(U)
+    c16, c16_sh, one_sh = t4c["mxu_consts"][pi]
+    q0 = _mul_hi(V0u, U32(one_sh))
+    r0 = V0u - q0 * p
+    r1 = _shoup(V1u, U32(c16), U32(c16_sh), p)
+    s = _condsub(r0 + r1, p2)
+    s = _condsub(s + t4c["inv_bias"][pi][None, :], p2)
+    s = _condsub(s, p)
+    return s.reshape(G, bt, 128)
+
+
+def _negacyclic_rot_v4(hi, lo, a_bits, lane_idx, G, log_2n):
+    """(hi, lo) [G, Bt, 128] * X^a, a in [0, 2N) per-batch ([1, Bt, 1])."""
+    for t in range(log_2n):
+        s = 1 << t
+        bit = (a_bits >> U32(t)) & U32(1)
+        if s >= 128 * G:  # s == N: X^N = -1
+            rhi, rlo = _neg64(hi, lo)
+        elif s >= G:
+            sl = s // G
+            if sl < 128:
+                rhi = _roll(hi, sl, 2)
+                rlo = _roll(lo, sl, 2)
+                nhi, nlo = _neg64(rhi, rlo)
+                wrap = lane_idx < U32(sl)
+                rhi = jnp.where(wrap, nhi, rhi)
+                rlo = jnp.where(wrap, nlo, rlo)
+            else:  # sl == 128: X^N = -1
+                rhi, rlo = _neg64(hi, lo)
+        else:
+            # group shift by s with carry into the lane direction: the s
+            # wrapped groups get an extra lane roll with a sign flip at lane 0
+            thi, tlo = hi[G - s:], lo[G - s:]
+            rthi = _roll(thi, 1, 2)
+            rtlo = _roll(tlo, 1, 2)
+            nhi, nlo = _neg64(rthi, rtlo)
+            wrap = lane_idx < U32(1)
+            rthi = jnp.where(wrap, nhi, rthi)
+            rtlo = jnp.where(wrap, nlo, rtlo)
+            rhi = jnp.concatenate([rthi, hi[:G - s]], axis=0)
+            rlo = jnp.concatenate([rtlo, lo[:G - s]], axis=0)
+        take = bit != U32(0)
+        hi = jnp.where(take, rhi, hi)
+        lo = jnp.where(take, rlo, lo)
+    return hi, lo
+
+
+def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
+                         tabs4: _KernelTablesV4, unroll: int = 1):
+    log_2n = n.bit_length()
+    G = tabs4.G
+    P = num_primes
+    plan = tabs4.plan
+    primes = plan.primes
+    garner_inv = plan.garner_inv
+    garner_inv_sh = [int(x) for x in plan.garner_inv_shoup]
+    pj_sh = plan.pj_shoup
+    prefix = plan.prefix_mod64
+    full_prod = plan.full_prod_mod64
+    mxu_consts = tuple(
+        (int(tabs4.c16[i]), int(tabs4.c16_sh[i]), int(tabs4.one_sh[i]))
+        for i in range(P))
+
+    def one_step(hi, lo, a_bits, bsk, t4c, lane_idx):
+        """hi/lo: lists of R [G, Bt, 128]; bsk: [2, P, l*R, R, G, 128]."""
+        bt = hi[0].shape[1]
+        per_r_digits = []
+        for r in range(R):
+            rhi, rlo = _negacyclic_rot_v4(hi[r], lo[r], a_bits, lane_idx,
+                                          G, log_2n)
+            dhi, dlo = _sub64(rhi, rlo, hi[r], lo[r])
+            per_r_digits.append(_decompose_u32(dhi, dlo, base_log, levels))
+        digit_polys = [per_r_digits[r][lev]
+                       for lev in range(levels) for r in range(R)]
+        # shared prime-independent limb split
+        Ls = [_split_digits_i8(d, tabs4.nl_in, tabs4.in_offset)
+              for d in digit_polys]
+
+        residues = []
+        for pi in range(P):
+            p = U32(primes[pi])
+            p2 = U32(2 * primes[pi])
+            dhat = [_fwd_ntt_v4(L, pi, t4c, p, p2, bt, G) for L in Ls]
+            res_p = []
+            for c in range(R):
+                acc_m = None
+                for j in range(levels * R):
+                    g = bsk[0, pi, j, c][:, None, :]     # [G, 1, 128]
+                    gsh = bsk[1, pi, j, c][:, None, :]
+                    term = _shoup(dhat[j], g, gsh, p)
+                    acc_m = term if acc_m is None else _condsub(acc_m + term, p2)
+                res_p.append(_inv_ntt_v4(acc_m, pi, t4c, p, p2, bt, G))
+            residues.append(res_p)
+
+        for c in range(R):
+            m = [residues[pi][c] for pi in range(P)]
+            v = [m[0]]
+            for i in range(1, P):
+                pi_p = U32(primes[i])
+                acc_g = v[i - 1]
+                for j in range(i - 2, -1, -1):
+                    acc_g = v[j] + _shoup(
+                        acc_g, U32(primes[j]), U32(pj_sh[i][j]), pi_p)
+                diff = U32(3 * primes[i]) + m[i] - acc_g
+                vi = _shoup(diff, U32(garner_inv[i - 1]),
+                            U32(garner_inv_sh[i - 1]), pi_p)
+                v.append(_condsub(vi, pi_p))
+            pos_hi = jnp.zeros_like(v[0])
+            pos_lo = jnp.zeros_like(v[0])
+            for i in range(P):
+                pre = prefix[i]
+                pre_lo = U32(pre & 0xFFFFFFFF)
+                pre_hi = U32((pre >> 32) & 0xFFFFFFFF)
+                thi, tlo = _mul_hi_lo(v[i], pre_lo)
+                thi = thi + v[i] * pre_hi
+                pos_hi, pos_lo = _add64(pos_hi, pos_lo, thi, tlo)
+            neg_hi, neg_lo = _sub64(
+                pos_hi, pos_lo,
+                U32((full_prod >> 32) & 0xFFFFFFFF),
+                U32(full_prod & 0xFFFFFFFF))
+            sign = v[P - 1] > U32(primes[P - 1] // 2)
+            ehi = jnp.where(sign, neg_hi, pos_hi)
+            elo = jnp.where(sign, neg_lo, pos_lo)
+            hi[c], lo[c] = _add64(hi[c], lo[c], ehi, elo)
+        return hi, lo
+
+    def kernel(a_ref, bsk_ref, fw_ref, iw_ref, tw_ref, ti_ref, gf_ref,
+               gi_ref, ib_ref, acc_hi_ref, acc_lo_ref, out_hi_ref,
+               out_lo_ref):
+        t4c = {
+            "fwd_w8": fw_ref, "inv_w8": iw_ref,
+            "tw": tw_ref[:], "tw_inv": ti_ref[:],
+            "gw_fwd": gf_ref[:], "gw_inv": gi_ref[:],
+            "inv_bias": ib_ref[:], "log_g": tabs4.log_g,
+            "mxu_consts": mxu_consts,
+        }
+        lane_idx = lax.broadcasted_iota(U32, (1, 1, 128), 2)
+        hi = [acc_hi_ref[r] for r in range(R)]
+        lo = [acc_lo_ref[r] for r in range(R)]
+        for u in range(unroll):
+            hi, lo = one_step(hi, lo, a_ref[u], bsk_ref[u], t4c, lane_idx)
+        for c in range(R):
+            out_hi_ref[c] = hi[c]
+            out_lo_ref[c] = lo[c]
+
+    return kernel
+
+
+class _DotRef:
+    """Wrapper letting the kernel index a matrix ref lazily: ref[pi] loads
+    the [*, 512] int8 matrix for one prime."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, pi):
+        return self._ref[pi]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
+                      unroll=1):
+    """fn(a_ms[U,1,B,1], bsk_step[U,2,P,l*R,R,G,128], acc_hi, acc_lo)
+    -> (acc_hi, acc_lo), accs u32[R, G, B, 128] in group-leading transposed
+    layout."""
+    tabs4 = _get_tables_v4(n, num_primes, base_log)
+    kernel = _make_step_kernel_v4(n, num_primes, base_log, levels, R, tabs4,
+                                  unroll=unroll)
+    P = num_primes
+    G = tabs4.G
+    consts = [tabs4.fwd_w8, tabs4.inv_w8, tabs4.tw, tabs4.tw_inv,
+              tabs4.gw_fwd, tabs4.gw_inv, tabs4.inv_bias]
+
+    def wrapped_kernel(a_ref, bsk_ref, fw_ref, iw_ref, *rest):
+        kernel(a_ref, bsk_ref, _DotRef(fw_ref), _DotRef(iw_ref), *rest)
+
+    def step(a_ms, bsk_step, acc_hi, acc_lo):
+        B = acc_hi.shape[2]
+        Bt = min(batch_tile, B)
+        assert B % Bt == 0
+        grid = (B // Bt,)
+        z = np.int32(0)
+        full = lambda shape: pl.BlockSpec(
+            shape, (lambda i, _k=len(shape): (z,) * _k),
+            memory_space=pltpu.VMEM)
+        acc_spec = pl.BlockSpec(
+            (R, G, Bt, 128), (lambda i: (z, z, i, z)),
+            memory_space=pltpu.VMEM)
+        a_spec = pl.BlockSpec(
+            (unroll, 1, Bt, 1), (lambda i: (z, z, i, z)),
+            memory_space=pltpu.VMEM)
+        interpret = jax.default_backend() == "cpu"
+        out_hi, out_lo = pl.pallas_call(
+            wrapped_kernel,
+            grid=grid,
+            interpret=interpret,
+            in_specs=[
+                a_spec,
+                full((unroll, 2, P, levels * R, R, G, 128)),
+                full(tuple(consts[0].shape)), full(tuple(consts[1].shape)),
+                full(tuple(consts[2].shape)), full(tuple(consts[3].shape)),
+                full(tuple(consts[4].shape)), full(tuple(consts[5].shape)),
+                full(tuple(consts[6].shape)),
+                acc_spec, acc_spec,
+            ],
+            out_specs=(acc_spec, acc_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((R, G, B, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((R, G, B, 128), jnp.uint32),
+            ),
+            input_output_aliases={9: 0, 10: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(a_ms, bsk_step, *[jnp.asarray(c) for c in consts], acc_hi, acc_lo)
+        return out_hi, out_lo
+
+    return step
+
+
+def to_transposed_layout(x: jnp.ndarray, G: int) -> jnp.ndarray:
+    """[..., N] standard coefficient order -> [..., G, 128] transposed
+    (entry [j1, j2] = coeff j1 + G*j2)."""
+    n = x.shape[-1]
+    return jnp.swapaxes(x.reshape(x.shape[:-1] + (128, G)), -1, -2)
+
+
+def from_transposed_layout(x: jnp.ndarray) -> jnp.ndarray:
+    G = x.shape[-2]
+    return jnp.swapaxes(x, -1, -2).reshape(x.shape[:-2] + (G * 128,))
+
+
+# ---------------------------------------------------------------------------
 # host-visible entry: full blind rotation via scan over the fused kernel
 # ---------------------------------------------------------------------------
 
@@ -1001,9 +1522,12 @@ def blind_rotate_pallas(
     R = bsk_scan.shape[4]
     n = bsk_scan.shape[5]
     B = lut.shape[0]
-    # NTT small-stage strategy: 'v3' (default) = int8 MXU matmuls,
-    # 'v2' = transposed sublane slices, 'v1' = lane rolls
-    variant = os.environ.get("TFHE_NTT_VARIANT", "v3")
+    # NTT strategy: 'v4' (default) = transposed four-step, digits straight
+    # into an int8 MXU matmul; 'v3' = flat layout with MXU small stages;
+    # 'v2' = transposed sublane slices; 'v1' = lane rolls
+    variant = os.environ.get("TFHE_NTT_VARIANT", "v4")
+    use_v4 = (variant == "v4" and n >= 256 and n % 128 == 0
+              and base_log * levels <= 31)
     use_v2 = variant != "v1" and n >= 256 and n % 128 == 0
     # Mosaic rejects the (Bt, n)->(Bt*n/128, 128) relayout for small n
     # ("unsupported shape cast"); the MXU variant is for production sizes
@@ -1013,9 +1537,20 @@ def blind_rotate_pallas(
 
     acc = monomial_div(lut, msed_body[..., None])  # u64 [B, R, N]
     acc = jnp.moveaxis(acc, 1, 0)  # [R, B, N]
-    acc_hi, acc_lo = split_u64(acc)
 
-    a_scan = jnp.moveaxis(msed_mask.astype(U32), 1, 0)[..., None]  # [n, B, 1]
+    if use_v4:
+        G = n // 128
+        tabs4 = _get_tables_v4(n, P, base_log)
+        # [R, B, G, 128] -> group-leading [R, G, B, 128]
+        acc_hi, acc_lo = split_u64(
+            jnp.moveaxis(to_transposed_layout(acc, G), 2, 1))
+        a_scan = jnp.moveaxis(msed_mask.astype(U32), 1, 0)[:, None, :, None]
+        perm = jnp.asarray(tabs4.perm_from_plan)
+        bsk_scan = bsk_scan[..., perm].reshape(bsk_scan.shape[:-1] + (G, 128))
+    else:
+        acc_hi, acc_lo = split_u64(acc)
+        a_scan = jnp.moveaxis(msed_mask.astype(U32), 1, 0)[..., None]
+
     pad = (-nsteps) % unroll
     if pad:
         # zero-padded steps are exact no-ops: a=0 rotates by X^0 and a zero
@@ -1030,8 +1565,12 @@ def blind_rotate_pallas(
     a_scan = a_scan.reshape((nsteps // unroll, unroll) + a_scan.shape[1:])
     bsk_scan = bsk_scan.reshape((nsteps // unroll, unroll) + bsk_scan.shape[1:])
 
-    step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile, unroll,
-                             use_v2=use_v2, use_mxu=use_mxu)
+    if use_v4:
+        step_fn = _build_step_fn_v4(n, P, base_log, levels, R, batch_tile,
+                                    unroll)
+    else:
+        step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile,
+                                 unroll, use_v2=use_v2, use_mxu=use_mxu)
 
     def body(carry, xs):
         hi, lo = carry
@@ -1040,4 +1579,7 @@ def blind_rotate_pallas(
         return (hi, lo), None
 
     (acc_hi, acc_lo), _ = lax.scan(body, (acc_hi, acc_lo), (a_scan, bsk_scan))
-    return jnp.moveaxis(merge_u64(acc_hi, acc_lo), 0, 1)  # [B, R, N]
+    out = merge_u64(acc_hi, acc_lo)
+    if use_v4:
+        out = from_transposed_layout(jnp.moveaxis(out, 1, 2))
+    return jnp.moveaxis(out, 0, 1)  # [B, R, N]

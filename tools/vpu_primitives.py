@@ -1,0 +1,90 @@
+"""Measure VPU primitive costs inside a Pallas kernel on the real chip.
+
+Times a long fori_loop of a single vector op on a [8, 2048] u32 tile using
+the two-point method (difference of two trip counts cancels launch/tunnel
+overhead). This sets the speed-of-light budget for NTT kernel design:
+how much a u32 multiply / mul_hi / Shoup modmul actually costs per element.
+
+Run: python tools/vpu_primitives.py
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+
+from tfhe_tpu.ops import pbs_kernel as pk
+
+U32 = jnp.uint32
+BT, N = 8, 2048
+P0 = np.uint32(0x3F5A0001)
+W = np.uint32(12345677)
+WSH = np.uint32((12345677 << 32) // 0x3F5A0001)
+
+
+def timed(fn, *args, iters=3):
+    out = fn(*args)
+    jax.device_get(out)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.device_get(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.min(ts))
+
+
+def run_case(name, body, lo=1 << 16, hi=1 << 20):
+    def kernel(n_ref, x_ref, o_ref):
+        def step(i, x):
+            return body(x)
+
+        o_ref[:] = lax.fori_loop(0, n_ref[0], step, x_ref[:])
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((BT, N), jnp.uint32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    fn = jax.jit(lambda c, v: call(c, v))
+    x0 = jnp.asarray(
+        np.random.default_rng(0).integers(0, P0, (BT, N), np.uint32))
+    t_lo = timed(fn, jnp.full((1,), lo, jnp.int32), x0)
+    t_hi = timed(fn, jnp.full((1,), hi, jnp.int32), x0)
+    per = max(t_hi - t_lo, 1e-12) / (hi - lo)
+    ns = per * 1e9
+    # elements processed per loop iteration = BT*N
+    print(json.dumps({
+        "metric": name, "ns_per_loop": round(ns, 3),
+        "ps_per_elem": round(per / (BT * N) * 1e12, 3),
+    }), flush=True)
+
+
+run_case("add", lambda x: x + x)
+run_case("mul_u32", lambda x: x * x)
+run_case("mul_u32_const", lambda x: x * W)
+run_case("shift", lambda x: x >> U32(16))
+run_case("and", lambda x: x & U32(0xFFFF))
+run_case("where_ge", lambda x: jnp.where(x >= P0, x - P0, x))
+run_case("mul_hi", lambda x: pk._mul_hi(x, x | U32(1)))
+run_case("shoup", lambda x: pk._shoup(x, W, WSH, P0))
+run_case("shoup_condsub", lambda x: pk._condsub(pk._shoup(x, W, WSH, P0), P0))
+# a full radix-2 butterfly pair worth of work per element (approximation)
+run_case("butterfly_mix",
+         lambda x: pk._condsub(x + x, np.uint32(2) * P0)
+         ^ pk._shoup(x, W, WSH, P0))
+# i32->f32->i32 conversion cost probe
+run_case("to_f32_roundtrip",
+         lambda x: (x.astype(jnp.float32) + 1.0).astype(jnp.uint32))
