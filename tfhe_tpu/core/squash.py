@@ -84,11 +84,33 @@ def decompose128(hi, lo, base_log: int, level_count: int):
     import jax.numpy as jnp
 
     rep = base_log * level_count
-    assert 64 < rep <= 126, rep
+    assert 0 < rep <= 126, rep
     non_rep = 128 - rep
-    s = non_rep - 1  # in [1, 63]
     hi = jnp.asarray(hi, jnp.uint64)
     lo = jnp.asarray(lo, jnp.uint64)
+    if rep <= 63:
+        # Small representable width (e.g. the squashed-list packing KS,
+        # base 61 x level 1): the rounded state fits one u64 limb, so this
+        # reduces to the u64 decomposer applied to x >> 64 with a 128-bit
+        # shift origin (decomposer.rs init_decomposer_state semantics).
+        res = hi >> jnp.uint64(non_rep - 1 - 64)  # x >> (non_rep-1)
+        rounding = res & jnp.uint64(1)
+        res = (res + jnp.uint64(1)) >> jnp.uint64(1)
+        res = res & jnp.uint64((1 << rep) - 1)
+        shifted_random = rounding << jnp.uint64(rep - 1)
+        need_balance = ((((res - jnp.uint64(1)) | shifted_random) & res)
+                        >> jnp.uint64(rep - 1))
+        state = (res - (need_balance << jnp.uint64(rep))).astype(jnp.int64)
+        digits = []
+        mod_b_mask = jnp.int64((1 << base_log) - 1)
+        for _ in range(level_count):
+            r = state & mod_b_mask
+            state = state >> base_log
+            carry = (((r - jnp.int64(1)) | state) & r) >> (base_log - 1)
+            state = state + carry
+            digits.append(r - (carry << base_log))
+        return jnp.stack(digits, axis=-1)
+    s = non_rep - 1  # in [1, 63]
     # res = x >> (non_rep - 1): (rep+1)-bit value on the pair
     res_lo = (lo >> jnp.uint64(s)) | (hi << jnp.uint64(64 - s))
     res_hi = hi >> jnp.uint64(s)

@@ -32,6 +32,7 @@ the portable jnp path in :mod:`tfhe_tpu.ops.server`.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1299,39 +1300,71 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
         (int(tabs4.c16[i]), int(tabs4.c16_sh[i]), int(tabs4.one_sh[i]))
         for i in range(P))
 
+    # timing-only ablation switches (tools/v4_ablate.py): each named piece
+    # is replaced by a shape/dtype-preserving stub so t_full - t_ablated
+    # measures its in-situ marginal cost; outputs are garbage when set
+    abl = frozenset(
+        filter(None, os.environ.get("TFHE_V4_ABLATE", "").split(",")))
+
     def one_step(hi, lo, a_bits, bsk, t4c, lane_idx):
         """hi/lo: lists of R [G, Bt, 128]; bsk: [2, P, l*R, R, G, 128]."""
         bt = hi[0].shape[1]
         per_r_digits = []
         for r in range(R):
-            rhi, rlo = _negacyclic_rot_v4(hi[r], lo[r], a_bits, lane_idx,
-                                          G, log_2n)
-            dhi, dlo = _sub64(rhi, rlo, hi[r], lo[r])
-            per_r_digits.append(_decompose_u32(dhi, dlo, base_log, levels))
+            if "rot" in abl:
+                dhi, dlo = hi[r], lo[r]
+            else:
+                rhi, rlo = _negacyclic_rot_v4(hi[r], lo[r], a_bits, lane_idx,
+                                              G, log_2n)
+                dhi, dlo = _sub64(rhi, rlo, hi[r], lo[r])
+            if "decomp" in abl:
+                per_r_digits.append([dhi.astype(I32)] * levels)
+            else:
+                per_r_digits.append(
+                    _decompose_u32(dhi, dlo, base_log, levels))
         digit_polys = [per_r_digits[r][lev]
                        for lev in range(levels) for r in range(R)]
         # shared prime-independent limb split
-        Ls = [_split_digits_i8(d, tabs4.nl_in, tabs4.in_offset)
-              for d in digit_polys]
+        if "split" in abl:
+            Ls = [jnp.concatenate(
+                [(d.reshape(G * bt, 128) & I32(127)).astype(jnp.int8)]
+                * tabs4.nl_in, axis=-1) for d in digit_polys]
+        else:
+            Ls = [_split_digits_i8(d, tabs4.nl_in, tabs4.in_offset)
+                  for d in digit_polys]
 
         residues = []
         for pi in range(P):
             p = U32(primes[pi])
             p2 = U32(2 * primes[pi])
-            dhat = [_fwd_ntt_v4(L, pi, t4c, p, p2, bt, G) for L in Ls]
+            if "fwd" in abl:
+                dhat = [(L[:, :128].astype(I32) & I32(0xFFFF))
+                        .astype(U32).reshape(G, bt, 128) for L in Ls]
+            else:
+                dhat = [_fwd_ntt_v4(L, pi, t4c, p, p2, bt, G) for L in Ls]
             res_p = []
             for c in range(R):
-                acc_m = None
-                for j in range(levels * R):
-                    g = bsk[0, pi, j, c][:, None, :]     # [G, 1, 128]
-                    gsh = bsk[1, pi, j, c][:, None, :]
-                    term = _shoup(dhat[j], g, gsh, p)
-                    acc_m = term if acc_m is None else _condsub(acc_m + term, p2)
-                res_p.append(_inv_ntt_v4(acc_m, pi, t4c, p, p2, bt, G))
+                if "mac" in abl:
+                    acc_m = dhat[c % len(dhat)]
+                else:
+                    acc_m = None
+                    for j in range(levels * R):
+                        g = bsk[0, pi, j, c][:, None, :]     # [G, 1, 128]
+                        gsh = bsk[1, pi, j, c][:, None, :]
+                        term = _shoup(dhat[j], g, gsh, p)
+                        acc_m = (term if acc_m is None
+                                 else _condsub(acc_m + term, p2))
+                if "inv" in abl:
+                    res_p.append(_condsub(acc_m, p))
+                else:
+                    res_p.append(_inv_ntt_v4(acc_m, pi, t4c, p, p2, bt, G))
             residues.append(res_p)
 
         for c in range(R):
             m = [residues[pi][c] for pi in range(P)]
+            if "garner" in abl:
+                hi[c], lo[c] = _add64(hi[c], lo[c], m[0], m[P - 1])
+                continue
             v = [m[0]]
             for i in range(1, P):
                 pi_p = U32(primes[i])

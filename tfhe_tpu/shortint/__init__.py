@@ -22,6 +22,11 @@ _EXPORTS = {
     "NoiseSquashingKey": ".noise_squashing",
     "NoiseSquashingPrivateKey": ".noise_squashing",
     "SquashedNoiseCiphertext": ".noise_squashing",
+    "CompressedSquashedNoiseCiphertextList": ".noise_squashing_compression",
+    "NoiseSquashingCompressionKey": ".noise_squashing_compression",
+    "NoiseSquashingCompressionPrivateKey": ".noise_squashing_compression",
+    "compress_noise_squashed_ciphertexts_into_list":
+        ".noise_squashing_compression",
     "PublicKey": ".public_key",
     "ServerKey": ".server_key",
     "WopbsKey": ".wopbs",
