@@ -92,3 +92,28 @@ def test_decompose128_small_rep_vs_oracle():
             want = _oracle_decompose128(x, bl, l)
             got = [int(digits[i, j]) for j in range(l)]
             assert got == want, (bl, l, hex(x), got, want)
+
+
+def test_hlapi_compressed_squashed_list():
+    """high_level_api/compressed_noise_squashed_ciphertext_list.rs flow:
+    squash -> pack into a compressed list -> unpack (no PBS) -> decrypt."""
+    from tfhe_tpu.high_level_api import api
+
+    cfg = api.Config(
+        PARAM_TEST_TOY, seed=11,
+        noise_squashing_parameters=PARAM_TEST_TOY_SQUASH,
+        noise_squashing_compression_parameters=TOY_SQUASH_COMP,
+    )
+    ck, sk = api.generate_keys(cfg)
+    api.set_server_key(sk)
+    try:
+        a = api.FheUint8.encrypt(200, ck)
+        b = api.FheUint8.encrypt(55, ck)
+        sa, sb = a.squash_noise(), b.squash_noise()
+        packed = (api.CompressedSquashedNoiseCiphertextList.builder()
+                  .push(sa).push(sb).build())
+        assert len(packed) == 2
+        assert packed.get(0).decrypt_with_compression_key(ck) == 200
+        assert packed.get(1).decrypt_with_compression_key(ck) == 55
+    finally:
+        api.unset_server_key()

@@ -19,6 +19,7 @@ Usage (mirrors the reference README):
 
 from . import api as _api
 from .api import (  # noqa: F401
+    CompressedSquashedNoiseCiphertextList,
     Config,
     ConfigBuilder,
     ClientKey,
@@ -36,6 +37,7 @@ _zoo = [n for n in dir(_api) if n.startswith(("FheUint", "FheInt"))]
 globals().update({n: getattr(_api, n) for n in _zoo})
 
 __all__ = [
+    "CompressedSquashedNoiseCiphertextList",
     "Config", "ConfigBuilder", "ClientKey", "ServerKey", "FheBool",
     "fhe_uint", "fhe_int", "generate_keys", "set_server_key",
     "unset_server_key", *_zoo,

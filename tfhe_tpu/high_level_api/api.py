@@ -36,6 +36,7 @@ class Config:
     # optional companion parameter sets (reference Config carries the same
     # optionals: config.rs / MetaParameters)
     noise_squashing_parameters: Optional[Any] = None
+    noise_squashing_compression_parameters: Optional[Any] = None
     compression_parameters: Optional[Any] = None
 
 
@@ -63,11 +64,22 @@ class ConfigBuilder:
         self._squash = squash_params
         return self
 
+    def enable_noise_squashing_compression(self, params) -> "ConfigBuilder":
+        """config.rs enable_noise_squashing_compression (requires
+        enable_noise_squashing)."""
+        self._squash_comp = params
+        return self
+
     def build(self) -> Config:
+        squash_comp = getattr(self, "_squash_comp", None)
+        if squash_comp is not None:
+            assert getattr(self, "_squash", None) is not None, \
+                "noise squashing compression requires noise squashing"
         return Config(
             parameters=self._params,
             seed=self._seed,
             noise_squashing_parameters=getattr(self, "_squash", None),
+            noise_squashing_compression_parameters=squash_comp,
             compression_parameters=getattr(self, "_compression", None),
         )
 
@@ -92,6 +104,7 @@ class ClientKey:
         self.inner = inner
         self.tag = tag or Tag()
         self.noise_squashing_private_key = noise_squashing_private_key
+        self.noise_squashing_compression_private_key = None
         self.compression_private_key = None
 
     @classmethod
@@ -114,6 +127,7 @@ class ServerKey:
         self.inner = inner
         self.tag = tag or Tag()
         self.noise_squashing_key = noise_squashing_key
+        self.noise_squashing_compression_key = None
         self.compression_key = None
         self.decompression_key = None
 
@@ -167,6 +181,25 @@ def generate_keys(config: Config, use_keycache: bool = False):
         sk.noise_squashing_key = NoiseSquashingKey.generate(
             ck.inner.key, ck.noise_squashing_private_key
         )
+        if config.noise_squashing_compression_parameters is not None:
+            from ..shortint.noise_squashing_compression import (
+                NoiseSquashingCompressionKey,
+                NoiseSquashingCompressionPrivateKey,
+            )
+
+            ck.noise_squashing_compression_private_key = (
+                NoiseSquashingCompressionPrivateKey.generate(
+                    ck.inner.key,
+                    config.noise_squashing_compression_parameters,
+                )
+            )
+            sk.noise_squashing_compression_key = (
+                NoiseSquashingCompressionKey.generate(
+                    ck.inner.key,
+                    ck.noise_squashing_private_key,
+                    ck.noise_squashing_compression_private_key,
+                )
+            )
     if config.compression_parameters is not None:
         from ..shortint import list_compression as _lc
 
@@ -217,6 +250,78 @@ class SquashedNoiseFheUint:
         for digit in reversed(vals):
             out = out * self.message_modulus + int(digit)
         return out % (1 << self.num_bits)
+
+    def decrypt_with_compression_key(self, client_key: "ClientKey") -> int:
+        """Decrypt an entry unpacked from a compressed list (it lives under
+        the squashing *compression* key, private_key.rs:100)."""
+        priv = client_key.noise_squashing_compression_private_key
+        assert priv is not None, \
+            "config lacks noise_squashing_compression_parameters"
+        vals = priv.decrypt(self.squashed)
+        out = 0
+        for digit in reversed(vals):
+            out = out * self.message_modulus + int(digit)
+        return out % (1 << self.num_bits)
+
+
+class CompressedSquashedNoiseCiphertextList:
+    """HLAPI packed list of noise-squashed integers
+    (high_level_api/compressed_noise_squashed_ciphertext_list.rs). Build
+    with the server-side compression key; entries unpack WITHOUT a PBS and
+    decrypt under the squashing compression private key."""
+
+    def __init__(self, inner, items):
+        self.inner = inner  # shortint CompressedSquashedNoiseCiphertextList
+        self.items = items  # [(num_bits, message_modulus, n_blocks)]
+
+    @classmethod
+    def builder(cls) -> "_SquashedNoiseListBuilder":
+        return _SquashedNoiseListBuilder()
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def get(self, index: int) -> SquashedNoiseFheUint:
+        assert 0 <= index < len(self.items)
+        start = sum(nb for _, _, nb in self.items[:index])
+        num_bits, mm, nb = self.items[index]
+        blocks = [self.inner.unpack(start + j) for j in range(nb)]
+        batched = blocks[0].__class__(
+            hi=np.stack([np.asarray(b.hi) for b in blocks]),
+            lo=np.stack([np.asarray(b.lo) for b in blocks]),
+            degree=max(b.degree for b in blocks),
+            message_modulus=mm,
+            carry_modulus=blocks[0].carry_modulus,
+        )
+        return SquashedNoiseFheUint(batched, num_bits, mm)
+
+
+class _SquashedNoiseListBuilder:
+    def __init__(self):
+        self._entries = []
+
+    def push(self, value: SquashedNoiseFheUint) -> "_SquashedNoiseListBuilder":
+        self._entries.append(value)
+        return self
+
+    def build(self) -> CompressedSquashedNoiseCiphertextList:
+        from ..shortint.noise_squashing_compression import (
+            compress_noise_squashed_ciphertexts_into_list,
+        )
+
+        global _SERVER_KEY
+        key = (_SERVER_KEY.noise_squashing_compression_key
+               if _SERVER_KEY else None)
+        assert key is not None, \
+            "server key lacks a noise squashing compression key"
+        inner = compress_noise_squashed_ciphertexts_into_list(
+            key, [e.squashed for e in self._entries])
+        items = [
+            (e.num_bits, e.message_modulus,
+             int(np.atleast_2d(np.asarray(e.squashed.hi)).shape[0]))
+            for e in self._entries
+        ]
+        return CompressedSquashedNoiseCiphertextList(inner, items)
 
 
 class CompactPublicKey:
