@@ -69,3 +69,13 @@ def test_upgrade_chain():
     )
     blob = ser.serialize("_TestThing", {"old_x": 41}, {}, version=1)
     assert ser.deserialize(blob) == ("v2", 42)
+
+
+def test_doc_examples_compile():
+    """Doc snippets must stay valid python (tasks/check_tfhe_docs analog)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "/root/repo/tools/check_docs.py"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr

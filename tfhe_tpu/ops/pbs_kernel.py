@@ -86,8 +86,39 @@ def _mul_hi_lo(a: jnp.ndarray, b: jnp.ndarray):
     return hi, lo
 
 
+def _mul_hi_approx(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """mul_hi undershooting the exact value by at most 2: drops the
+    low-half carry fold of :func:`_mul_hi` (3 mullo + 2 shifts fewer)."""
+    ah = a >> U32(16)
+    al = a & U32(0xFFFF)
+    bh = b >> U32(16)
+    bl = b & U32(0xFFFF)
+    return ah * bh + ((al * bh) >> U32(16)) + ((ah * bl) >> U32(16))
+
+
+# 'approx' = Shoup q via _mul_hi_approx (q <= exact <= q+2, so the raw
+# product lands in [0, 4p); an internal condsub restores the < 2p contract
+# and the value mod p — hence every downstream bound and the final
+# canonical residues — is unchanged. Requires 4p < 2^32 (all plan primes
+# are < 2^30).
+_SHOUP_MODE = os.environ.get("TFHE_V4_SHOUP", "exact")
+
+
+def _condsub_wide(x: jnp.ndarray, c) -> jnp.ndarray:
+    """x mod-subtract c once, branch-free and safe for x >= 2^31 (where a
+    lowered signed compare would mis-select): for x < c + 2^31, c < 2^31,
+    returns x - c if x >= c else x."""
+    m = x - c
+    return m + ((m >> U32(31)) * c)
+
+
 def _shoup(a: jnp.ndarray, w, w_shoup, p) -> jnp.ndarray:
     """(a * w) mod p, lazy: result < 2p. Valid for ANY u32 ``a``, w < p."""
+    if _SHOUP_MODE == "approx":
+        q = _mul_hi_approx(a, w_shoup)
+        # raw result < 4p can cross 2^31 (unlike every exact-path value,
+        # which stays < 2p < 2^31), so the fold-back must not use a compare
+        return _condsub_wide(a * w - q * p, p + p)  # [0, 4p) -> [0, 2p)
     q = _mul_hi(a, w_shoup)
     return a * w - q * p  # exact low-32 of a value < 2p < 2^32
 
@@ -1360,11 +1391,15 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                     res_p.append(_inv_ntt_v4(acc_m, pi, t4c, p, p2, bt, G))
             residues.append(res_p)
 
-        for c in range(R):
-            m = [residues[pi][c] for pi in range(P)]
-            if "garner" in abl:
-                hi[c], lo[c] = _add64(hi[c], lo[c], m[0], m[P - 1])
-                continue
+        def garner_c(m):
+            """Garner digits then mixed-radix Horner to a centered u64 pair.
+
+            value = v0 + p0*(v1 + p1*(v2 + p2*v3)) mod 2^64, minus the full
+            prime product when the top digit says the centered value is
+            negative. Horner needs one u32 mul_hi per level (vs one per
+            prime for the prefix-product form) and keeps only the running
+            pair live.
+            """
             v = [m[0]]
             for i in range(1, P):
                 pi_p = U32(primes[i])
@@ -1377,21 +1412,37 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                             U32(garner_inv_sh[i - 1]), pi_p)
                 v.append(_condsub(vi, pi_p))
             pos_hi = jnp.zeros_like(v[0])
-            pos_lo = jnp.zeros_like(v[0])
-            for i in range(P):
-                pre = prefix[i]
-                pre_lo = U32(pre & 0xFFFFFFFF)
-                pre_hi = U32((pre >> 32) & 0xFFFFFFFF)
-                thi, tlo = _mul_hi_lo(v[i], pre_lo)
-                thi = thi + v[i] * pre_hi
-                pos_hi, pos_lo = _add64(pos_hi, pos_lo, thi, tlo)
+            pos_lo = v[P - 1]
+            for i in range(P - 2, -1, -1):
+                pc = U32(primes[i])
+                nlo = pos_lo * pc
+                nhi = _mul_hi(pos_lo, pc) + pos_hi * pc
+                pos_lo = nlo + v[i]
+                pos_hi = nhi + (pos_lo < nlo).astype(U32)
             neg_hi, neg_lo = _sub64(
                 pos_hi, pos_lo,
                 U32((full_prod >> 32) & 0xFFFFFFFF),
                 U32(full_prod & 0xFFFFFFFF))
             sign = v[P - 1] > U32(primes[P - 1] // 2)
-            ehi = jnp.where(sign, neg_hi, pos_hi)
-            elo = jnp.where(sign, neg_lo, pos_lo)
+            return (jnp.where(sign, neg_hi, pos_hi),
+                    jnp.where(sign, neg_lo, pos_lo))
+
+        # live-register relief: optionally run the recombination in G-slices
+        # so the chain's ~10 concurrently-live [G, Bt, 128] tensors shrink
+        # to [gch, Bt, 128] (64 physical vregs; whole-plane chains spill)
+        gch = int(os.environ.get("TFHE_V4_GARNER_CHUNK", "0") or 0)
+        for c in range(R):
+            m = [residues[pi][c] for pi in range(P)]
+            if "garner" in abl:
+                hi[c], lo[c] = _add64(hi[c], lo[c], m[0], m[P - 1])
+                continue
+            if 0 < gch < G:
+                parts = [garner_c([x[g0:g0 + gch] for x in m])
+                         for g0 in range(0, G, gch)]
+                ehi = jnp.concatenate([t[0] for t in parts], axis=0)
+                elo = jnp.concatenate([t[1] for t in parts], axis=0)
+            else:
+                ehi, elo = garner_c(m)
             hi[c], lo[c] = _add64(hi[c], lo[c], ehi, elo)
         return hi, lo
 

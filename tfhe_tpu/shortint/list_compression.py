@@ -193,6 +193,7 @@ def compress(
     comp_key: CompressionKey, cts: ShortintCiphertext
 ) -> CompressedCiphertextList:
     """Pack a batched shortint ciphertext (leading batch dim = list index)."""
+    import jax
     import jax.numpy as jnp
 
     cp = comp_key.params
@@ -206,32 +207,39 @@ def compress(
     plan_c = ntt_mod.get_plan(N_c, comp_key.num_primes)
     R_c = cp.packing_ks_glwe_dimension + 1
 
-    glwes = []
-    for gidx in range(n_glwe):
-        chunk = arr[gidx * per : (gidx + 1) * per]
-        B = chunk.shape[0]
-        a = jnp.asarray(chunk[:, :n_big])
-        bvals = chunk[:, n_big]
+    # one batched packing-keyswitch program over all GLWEs of the list
+    # (leading glwe axis = batch axis; per-GLWE host loops only cap device
+    # memory at `tile` GLWEs per dispatch)
+    padded = np.zeros((n_glwe * per, n_big + 1), dtype=np.uint64)
+    padded[:count] = arr
+    a_all = padded[:, :n_big].reshape(n_glwe, per, n_big)
+    b_all = padded[:, n_big].reshape(n_glwe, per)
+
+    @jax.jit
+    def pack(a, bvals):
         digits = decompose(a, cp.packing_ks_base_log, cp.packing_ks_level)
-        # digit polynomials P_{j,lev}(X) = sum_i digit_i X^i
-        digits = np.asarray(digits)  # [B, n_big, l]
-        polys = np.zeros((n_big, cp.packing_ks_level, N_c), dtype=np.int64)
-        polys[:, :, :B] = np.moveaxis(digits, 0, -1)
-        dhat = plan_c.fwd(jnp.asarray(polys))  # [P, n_big, l, N_c]
+        # digit polynomials P_{g,j,lev}(X) = sum_i digit_{g,i,j,lev} X^i
+        polys = jnp.zeros(
+            (a.shape[0], n_big, cp.packing_ks_level, N_c), dtype=jnp.int64)
+        polys = polys.at[..., : a.shape[1]].set(jnp.moveaxis(digits, 1, -1))
+        dhat = plan_c.fwd(polys)  # [P, g, n_big, l, N_c]
         prod = (
             dhat[..., None, :].astype(jnp.uint64)
-            * comp_key.pksk_hat.astype(jnp.uint64)
-        ) % plan_c.p_like(4)
-        acc_hat = jnp.sum(prod, axis=(1, 2)) % plan_c.p_like(2)  # [P, R_c, N_c]
-        mac = plan_c.reconstruct_u64(plan_c.inv(acc_hat))  # [R_c, N_c]
-        out = jnp.zeros((R_c, N_c), dtype=jnp.uint64)
-        body = np.zeros(N_c, dtype=np.uint64)
-        body[:B] = bvals
-        out = out.at[R_c - 1].set(jnp.asarray(body))
-        out = out - mac
-        glwes.append(np.asarray(out))
+            * comp_key.pksk_hat[:, None].astype(jnp.uint64)
+        ) % plan_c.p_like(5)
+        acc_hat = jnp.sum(prod, axis=(2, 3)) % plan_c.p_like(3)  # [P,g,R,N]
+        mac = plan_c.reconstruct_u64(plan_c.inv(acc_hat))  # [g, R_c, N_c]
+        body = jnp.zeros((a.shape[0], R_c, N_c), dtype=jnp.uint64)
+        body = body.at[:, R_c - 1, : a.shape[1]].set(bvals)
+        return body - mac
 
-    stored = np.stack(glwes)  # [n_glwe, R_c, N_c] u64
+    tile = 8  # GLWEs per dispatch (bounds dhat device memory)
+    glwes = [
+        np.asarray(pack(jnp.asarray(a_all[i : i + tile]),
+                        jnp.asarray(b_all[i : i + tile])))
+        for i in range(0, n_glwe, tile)
+    ]
+    stored = np.concatenate(glwes)  # [n_glwe, R_c, N_c] u64
     slm = cp.storage_log_modulus
     half = np.uint64(1) << np.uint64(64 - slm - 1)
     with np.errstate(over="ignore"):

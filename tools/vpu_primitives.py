@@ -132,3 +132,26 @@ def _mulhi_4mullo(a, wsh_hi, wsh_lo):
 run_case("mulhi_4mullo",
          lambda x: _mulhi_4mullo(x, np.uint32(W >> np.uint32(16)),
                                  np.uint32(W & np.uint32(0xFFFF))))
+
+
+def _mul_hi_approx(a, b):
+    """mul_hi undershooting by at most 2 (drops the low-half carry fold).
+    For Shoup q this widens the lazy bound to < 4p; one condsub restores
+    the < 2p contract and the value mod p is unchanged."""
+    ah = a >> np.uint32(16)
+    al = a & np.uint32(0xFFFF)
+    bh = b >> np.uint32(16)
+    bl = b & np.uint32(0xFFFF)
+    return ah * bh + ((al * bh) >> np.uint32(16)) + ((ah * bl) >> np.uint32(16))
+
+
+def _shoup_approx(a, w, wsh, p):
+    q = _mul_hi_approx(a, wsh)
+    r = a * w - q * p
+    return pk._condsub(r, np.uint32(2) * p)
+
+
+run_case("mulhi_approx", lambda x: _mul_hi_approx(x, x | U32(1)))
+run_case("shoup_approx_2p", lambda x: _shoup_approx(x, W, WSH, P0))
+run_case("shoup_approx_canon",
+         lambda x: pk._condsub(_shoup_approx(x, W, WSH, P0), P0))
