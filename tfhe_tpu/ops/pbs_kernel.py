@@ -96,12 +96,16 @@ def _mul_hi_approx(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return ah * bh + ((al * bh) >> U32(16)) + ((ah * bl) >> U32(16))
 
 
-# 'approx' = Shoup q via _mul_hi_approx (q <= exact <= q+2, so the raw
-# product lands in [0, 4p); an internal condsub restores the < 2p contract
-# and the value mod p — hence every downstream bound and the final
-# canonical residues — is unchanged. Requires 4p < 2^32 (all plan primes
-# are < 2^30).
-_SHOUP_MODE = os.environ.get("TFHE_V4_SHOUP", "exact")
+# 'approx' (default) = Shoup q via _mul_hi_approx (q <= exact <= q+2, so
+# the raw product lands in [0, 4p); an internal compare-free condsub
+# restores the < 2p contract, and the value mod p — hence every downstream
+# bound and the final canonical residues — is unchanged. Requires
+# 4p < 2^32 (all plan primes are < 2^30) and, like the exact mode's < 2p
+# bound, a TRUE (w, wsh) Shoup pair: with an inconsistent dual the product
+# wraps mod 2^32 and 2^32 is not 0 mod p (synthetic-random-key harnesses
+# must build real duals — see tools/v4_ablate.py). Measured: 1.484 vs
+# 1.623 us/ct-step on v5e, bit-identical blind-rotation output.
+_SHOUP_MODE = os.environ.get("TFHE_V4_SHOUP", "approx")
 
 
 def _condsub_wide(x: jnp.ndarray, c) -> jnp.ndarray:
