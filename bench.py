@@ -130,8 +130,55 @@ def _append_history(record: dict) -> None:
         pass
 
 
+def integer_main():
+    """Batched FheUint64 add/mul throughput (bench_integer analog;
+    reference latencies: add 109/8.97/8.62 ms, mul 402/31.9/122 ms on
+    CPU/8xH100/V80 — BASELINE.md). The TPU story is throughput: every
+    radix op is batched over independent integers (block axis = batch
+    axis), so B adds cost one carry-propagation sweep of B*32 blocks."""
+    import jax
+
+    from tfhe_tpu.integer.radix import ClientKey, ServerKey
+    from tfhe_tpu.keycache import get_shortint_keys
+    from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
+
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    sck, ssk = get_shortint_keys(P, seed=42)
+    ck = ClientKey(sck)
+    sk = ServerKey(ssk)
+    rng = np.random.default_rng(1)
+    xs = rng.integers(0, 1 << 64, B, dtype=np.uint64)
+    ys = rng.integers(0, 1 << 64, B, dtype=np.uint64)
+    a = ck.encrypt_radix(xs, num_blocks=32)
+    b = ck.encrypt_radix(ys, num_blocks=32)
+
+    for name, fn, oracle in [
+        ("add", sk.add, lambda x, y: x + y),
+        ("mul", sk.mul, lambda x, y: x * y),
+    ]:
+        out = fn(a, b)  # compile + correctness gate
+        jax.block_until_ready(out.ct)
+        with np.errstate(over="ignore"):
+            want = oracle(xs, ys)
+        got = np.asarray(ck.decrypt_radix(out), dtype=np.uint64)
+        assert np.array_equal(got, want), f"FheUint64 {name} mismatch"
+        iters = 2
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(a, b)
+            jax.block_until_ready(out.ct)
+        dt = (time.perf_counter() - t0) / iters
+        print(json.dumps({
+            "metric": f"fheuint64_{name}_throughput",
+            "value": round(B / dt, 2), "unit": "ops/s", "batch": B,
+            "latency_ms": round(dt * 1e3, 1),
+        }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--kernels":
         kernels_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--integer":
+        integer_main()
     else:
         main()

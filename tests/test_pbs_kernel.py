@@ -167,3 +167,26 @@ def test_keyswitch_mxu_bit_exact():
     ksk8 = so.ksk_to_i8_limbs(ksk, bl)
     new = so.keyswitch_mxu(jnp.asarray(ct), jnp.asarray(ksk8), bl, l)
     assert np.array_equal(np.asarray(ref), np.asarray(new))
+
+
+def test_blind_rotate_pallas_acc32_bit_exact(monkeypatch):
+    """acc32 mode (single-plane accumulator, increments rounded to 2^32
+    multiples) vs the jnp oracle's acc_round32 twin — bit-exact."""
+    monkeypatch.setenv("TFHE_NTT_VARIANT", "v4")
+    monkeypatch.setenv("TFHE_V4_ACC", "32")
+    plan = ntt_mod.get_plan(N, P)
+    rng = np.random.default_rng(17)
+    n_steps = 4
+    bsk = make_ggsw(rng, extra_shape=(n_steps,))
+    lut = jnp.asarray(rng.integers(0, 2**64, size=(B, R, N), dtype=np.uint64))
+    mask = jnp.asarray(
+        rng.integers(0, 2 * N, size=(B, n_steps), dtype=np.uint64))
+    body = jnp.asarray(rng.integers(0, 2 * N, size=(B,), dtype=np.uint64))
+    ref = so.blind_rotate(lut, mask, body, bsk, BL, L, plan,
+                          acc_round32=True)
+    got = pk.blind_rotate_pallas(
+        lut, mask, body, pk.bsk_to_scan_layout(bsk), BL, L, plan
+    )
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    # the rounding contract: every output limb pair has a zero lo half
+    assert bool((np.asarray(got) & np.uint64(0xFFFFFFFF) == 0).all())

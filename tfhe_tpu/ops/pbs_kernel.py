@@ -1319,8 +1319,37 @@ def _negacyclic_rot_v4(hi, lo, a_bits, lane_idx, G, log_2n):
     return hi, lo
 
 
+def _negacyclic_rot_v4_hi(hi, a_bits, lane_idx, G, log_2n):
+    """Single-plane variant of :func:`_negacyclic_rot_v4` for the acc32
+    accumulator (acc_u64 = hi * 2^32, so negation mod 2^64 is negation of
+    the hi plane mod 2^32)."""
+    for t in range(log_2n):
+        s = 1 << t
+        bit = (a_bits >> U32(t)) & U32(1)
+        if s >= 128 * G:  # s == N: X^N = -1
+            rhi = U32(0) - hi
+        elif s >= G:
+            sl = s // G
+            if sl < 128:
+                rhi = _roll(hi, sl, 2)
+                wrap = lane_idx < U32(sl)
+                rhi = jnp.where(wrap, U32(0) - rhi, rhi)
+            else:  # sl == 128: X^N = -1
+                rhi = U32(0) - hi
+        else:
+            thi = hi[G - s:]
+            rthi = _roll(thi, 1, 2)
+            wrap = lane_idx < U32(1)
+            rthi = jnp.where(wrap, U32(0) - rthi, rthi)
+            rhi = jnp.concatenate([rthi, hi[:G - s]], axis=0)
+        take = bit != U32(0)
+        hi = jnp.where(take, rhi, hi)
+    return hi
+
+
 def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
-                         tabs4: _KernelTablesV4, unroll: int = 1):
+                         tabs4: _KernelTablesV4, unroll: int = 1,
+                         acc32: bool = False):
     log_2n = n.bit_length()
     G = tabs4.G
     P = num_primes
@@ -1342,11 +1371,21 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
         filter(None, os.environ.get("TFHE_V4_ABLATE", "").split(",")))
 
     def one_step(hi, lo, a_bits, bsk, t4c, lane_idx):
-        """hi/lo: lists of R [G, Bt, 128]; bsk: [2, P, l*R, R, G, 128]."""
+        """hi/lo: lists of R [G, Bt, 128]; bsk: [2, P, l*R, R, G, 128].
+        acc32 mode: lo is None; acc_u64 = hi * 2^32 (every increment is
+        rounded to a multiple of 2^32 — see garner tail)."""
         bt = hi[0].shape[1]
         per_r_digits = []
         for r in range(R):
-            if "rot" in abl:
+            if acc32:
+                if "rot" in abl:
+                    dhi = hi[r]
+                else:
+                    rhi = _negacyclic_rot_v4_hi(hi[r], a_bits, lane_idx,
+                                                G, log_2n)
+                    dhi = rhi - hi[r]
+                dlo = dhi  # unused: the decomposer reads the hi limb only
+            elif "rot" in abl:
                 dhi, dlo = hi[r], lo[r]
             else:
                 rhi, rlo = _negacyclic_rot_v4(hi[r], lo[r], a_bits, lane_idx,
@@ -1438,7 +1477,10 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
         for c in range(R):
             m = [residues[pi][c] for pi in range(P)]
             if "garner" in abl:
-                hi[c], lo[c] = _add64(hi[c], lo[c], m[0], m[P - 1])
+                if acc32:
+                    hi[c] = hi[c] + m[0]
+                else:
+                    hi[c], lo[c] = _add64(hi[c], lo[c], m[0], m[P - 1])
                 continue
             if 0 < gch < G:
                 parts = [garner_c([x[g0:g0 + gch] for x in m])
@@ -1447,19 +1489,29 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                 elo = jnp.concatenate([t[1] for t in parts], axis=0)
             else:
                 ehi, elo = garner_c(m)
-            hi[c], lo[c] = _add64(hi[c], lo[c], ehi, elo)
+            if acc32:
+                # round the increment to a multiple of 2^32:
+                # round(x / 2^32) = ehi + [elo >= 2^31] — the only acc32
+                # deviation from the exact path (contract mirrored by the
+                # jnp oracle's acc_round32 flag)
+                hi[c] = hi[c] + ehi + (elo >> U32(31))
+            else:
+                hi[c], lo[c] = _add64(hi[c], lo[c], ehi, elo)
         return hi, lo
 
-    def kernel(a_ref, bsk_ref, fw_ref, iw_ref, tw_ref, ti_ref, gf_ref,
-               gi_ref, ib_ref, acc_hi_ref, acc_lo_ref, out_hi_ref,
-               out_lo_ref):
-        t4c = {
+    def _t4c(fw_ref, iw_ref, tw_ref, ti_ref, gf_ref, gi_ref, ib_ref):
+        return {
             "fwd_w8": fw_ref, "inv_w8": iw_ref,
             "tw": tw_ref[:], "tw_inv": ti_ref[:],
             "gw_fwd": gf_ref[:], "gw_inv": gi_ref[:],
             "inv_bias": ib_ref[:], "log_g": tabs4.log_g,
             "mxu_consts": mxu_consts,
         }
+
+    def kernel(a_ref, bsk_ref, fw_ref, iw_ref, tw_ref, ti_ref, gf_ref,
+               gi_ref, ib_ref, acc_hi_ref, acc_lo_ref, out_hi_ref,
+               out_lo_ref):
+        t4c = _t4c(fw_ref, iw_ref, tw_ref, ti_ref, gf_ref, gi_ref, ib_ref)
         lane_idx = lax.broadcasted_iota(U32, (1, 1, 128), 2)
         hi = [acc_hi_ref[r] for r in range(R)]
         lo = [acc_lo_ref[r] for r in range(R)]
@@ -1469,7 +1521,17 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
             out_hi_ref[c] = hi[c]
             out_lo_ref[c] = lo[c]
 
-    return kernel
+    def kernel32(a_ref, bsk_ref, fw_ref, iw_ref, tw_ref, ti_ref, gf_ref,
+                 gi_ref, ib_ref, acc_ref, out_ref):
+        t4c = _t4c(fw_ref, iw_ref, tw_ref, ti_ref, gf_ref, gi_ref, ib_ref)
+        lane_idx = lax.broadcasted_iota(U32, (1, 1, 128), 2)
+        hi = [acc_ref[r] for r in range(R)]
+        for u in range(unroll):
+            hi, _ = one_step(hi, None, a_ref[u], bsk_ref[u], t4c, lane_idx)
+        for c in range(R):
+            out_ref[c] = hi[c]
+
+    return kernel32 if acc32 else kernel
 
 
 class _DotRef:
@@ -1485,13 +1547,14 @@ class _DotRef:
 
 @functools.lru_cache(maxsize=None)
 def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
-                      unroll=1):
+                      unroll=1, acc32=False):
     """fn(a_ms[U,1,B,1], bsk_step[U,2,P,l*R,R,G,128], acc_hi, acc_lo)
     -> (acc_hi, acc_lo), accs u32[R, G, B, 128] in group-leading transposed
-    layout."""
+    layout. acc32: single-plane accumulator (acc_u64 = hi * 2^32);
+    fn(a_ms, bsk_step, acc) -> acc."""
     tabs4 = _get_tables_v4(n, num_primes, base_log)
     kernel = _make_step_kernel_v4(n, num_primes, base_log, levels, R, tabs4,
-                                  unroll=unroll)
+                                  unroll=unroll, acc32=acc32)
     P = num_primes
     G = tabs4.G
     consts = [tabs4.fwd_w8, tabs4.inv_w8, tabs4.tw, tabs4.tw_inv,
@@ -1500,11 +1563,9 @@ def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
     def wrapped_kernel(a_ref, bsk_ref, fw_ref, iw_ref, *rest):
         kernel(a_ref, bsk_ref, _DotRef(fw_ref), _DotRef(iw_ref), *rest)
 
-    def step(a_ms, bsk_step, acc_hi, acc_lo):
-        B = acc_hi.shape[2]
+    def _specs(B):
         Bt = min(batch_tile, B)
         assert B % Bt == 0
-        grid = (B // Bt,)
         z = np.int32(0)
         full = lambda shape: pl.BlockSpec(
             shape, (lambda i, _k=len(shape): (z,) * _k),
@@ -1515,20 +1576,46 @@ def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
         a_spec = pl.BlockSpec(
             (unroll, 1, Bt, 1), (lambda i: (z, z, i, z)),
             memory_space=pltpu.VMEM)
-        interpret = jax.default_backend() == "cpu"
+        in_specs = [
+            a_spec,
+            full((unroll, 2, P, levels * R, R, G, 128)),
+            full(tuple(consts[0].shape)), full(tuple(consts[1].shape)),
+            full(tuple(consts[2].shape)), full(tuple(consts[3].shape)),
+            full(tuple(consts[4].shape)), full(tuple(consts[5].shape)),
+            full(tuple(consts[6].shape)),
+        ]
+        return (B // Bt,), in_specs, acc_spec
+
+    interpret_default = lambda: jax.default_backend() == "cpu"
+
+    if acc32:
+        def step(a_ms, bsk_step, acc):
+            B = acc.shape[2]
+            grid, in_specs, acc_spec = _specs(B)
+            out = pl.pallas_call(
+                wrapped_kernel,
+                grid=grid,
+                interpret=interpret_default(),
+                in_specs=in_specs + [acc_spec],
+                out_specs=acc_spec,
+                out_shape=jax.ShapeDtypeStruct((R, G, B, 128), jnp.uint32),
+                input_output_aliases={9: 0},
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+            )(a_ms, bsk_step, *[jnp.asarray(c) for c in consts], acc)
+            return out
+
+        return step
+
+    def step(a_ms, bsk_step, acc_hi, acc_lo):
+        B = acc_hi.shape[2]
+        grid, in_specs, acc_spec = _specs(B)
         out_hi, out_lo = pl.pallas_call(
             wrapped_kernel,
             grid=grid,
-            interpret=interpret,
-            in_specs=[
-                a_spec,
-                full((unroll, 2, P, levels * R, R, G, 128)),
-                full(tuple(consts[0].shape)), full(tuple(consts[1].shape)),
-                full(tuple(consts[2].shape)), full(tuple(consts[3].shape)),
-                full(tuple(consts[4].shape)), full(tuple(consts[5].shape)),
-                full(tuple(consts[6].shape)),
-                acc_spec, acc_spec,
-            ],
+            interpret=interpret_default(),
+            in_specs=in_specs + [acc_spec, acc_spec],
             out_specs=(acc_spec, acc_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((R, G, B, 128), jnp.uint32),
@@ -1591,7 +1678,7 @@ def blind_rotate_pallas(
     base_log: int,
     levels: int,
     plan: ntt_mod.NegacyclicNtt,
-    batch_tile: int = 8,
+    batch_tile: int = 16,
     unroll: int = 2,
 ) -> jnp.ndarray:
     """Drop-in replacement for :func:`tfhe_tpu.ops.server.blind_rotate`
@@ -1626,12 +1713,22 @@ def blind_rotate_pallas(
     acc = monomial_div(lut, msed_body[..., None])  # u64 [B, R, N]
     acc = jnp.moveaxis(acc, 1, 0)  # [R, B, N]
 
+    # acc32: single-plane accumulator (acc_u64 = hi * 2^32); every CMUX
+    # increment is rounded to a multiple of 2^32 — injects per-step noise
+    # of std 2^32/sqrt(12) (~2^35.5 total over n steps, vs >= 2^48 PBS
+    # noise at production parameters). Mirrored exactly by the jnp
+    # oracle's acc_round32 flag.
+    acc_mode = os.environ.get("TFHE_V4_ACC", "64")
+    use_acc32 = use_v4 and acc_mode == "32"
+
     if use_v4:
         G = n // 128
         tabs4 = _get_tables_v4(n, P, base_log)
         # [R, B, G, 128] -> group-leading [R, G, B, 128]
         acc_hi, acc_lo = split_u64(
             jnp.moveaxis(to_transposed_layout(acc, G), 2, 1))
+        if use_acc32:
+            acc_hi = acc_hi + (acc_lo >> U32(31))
         a_scan = jnp.moveaxis(msed_mask.astype(U32), 1, 0)[:, None, :, None]
         perm = jnp.asarray(tabs4.perm_from_plan)
         bsk_scan = bsk_scan[..., perm].reshape(bsk_scan.shape[:-1] + (G, 128))
@@ -1655,18 +1752,27 @@ def blind_rotate_pallas(
 
     if use_v4:
         step_fn = _build_step_fn_v4(n, P, base_log, levels, R, batch_tile,
-                                    unroll)
+                                    unroll, acc32=use_acc32)
     else:
         step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile,
                                  unroll, use_v2=use_v2, use_mxu=use_mxu)
 
-    def body(carry, xs):
-        hi, lo = carry
-        a_ms, bsk_step = xs
-        hi, lo = step_fn(a_ms, bsk_step, hi, lo)
-        return (hi, lo), None
+    if use_acc32:
+        def body32(carry, xs):
+            a_ms, bsk_step = xs
+            return step_fn(a_ms, bsk_step, carry), None
 
-    (acc_hi, acc_lo), _ = lax.scan(body, (acc_hi, acc_lo), (a_scan, bsk_scan))
+        acc_hi, _ = lax.scan(body32, acc_hi, (a_scan, bsk_scan))
+        acc_lo = jnp.zeros_like(acc_hi)
+    else:
+        def body(carry, xs):
+            hi, lo = carry
+            a_ms, bsk_step = xs
+            hi, lo = step_fn(a_ms, bsk_step, hi, lo)
+            return (hi, lo), None
+
+        (acc_hi, acc_lo), _ = lax.scan(
+            body, (acc_hi, acc_lo), (a_scan, bsk_scan))
     out = merge_u64(acc_hi, acc_lo)
     if use_v4:
         out = from_transposed_layout(jnp.moveaxis(out, 1, 2))

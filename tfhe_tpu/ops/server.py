@@ -365,6 +365,7 @@ def blind_rotate(
     base_log: int,
     levels: int,
     plan: ntt_mod.NegacyclicNtt,
+    acc_round32: bool = False,
 ) -> jnp.ndarray:
     """Blind rotation of ``lut`` by the mod-switched LWE.
 
@@ -372,17 +373,27 @@ def blind_rotate(
     ``msed_mask``: u64[..., n] values in [0, 2N)
     ``msed_body``: u64[...]     value  in [0, 2N)
     ``bsk_hat``:  u32[2, P, n, l, R, R, N] (residues + Shoup duals)
+    ``acc_round32``: mirror of the Pallas kernel's acc32 contract — the
+    accumulator and every CMUX increment are rounded to multiples of 2^32
+    (bit-exact twin of ``blind_rotate_pallas`` under TFHE_V4_ACC=32).
     """
     n = bsk_hat.shape[2]
     # lut <- lut * X^{-b}
     acc = monomial_div(lut, msed_body[..., None])
+    if acc_round32:
+        half = jnp.uint64(1) << jnp.uint64(31)
+        r32 = lambda x: ((x + half) >> jnp.uint64(32)) << jnp.uint64(32)
+        acc = r32(acc)
 
     def body_fn(i, acc):
         a_i = lax.dynamic_index_in_dim(msed_mask, i, axis=-1, keepdims=False)
         # ct1 = acc * X^{a_i} - acc  (fused monomial-mul-subtract)
         ct1 = monomial_mul(acc, a_i[..., None]) - acc
         ggsw = lax.dynamic_index_in_dim(bsk_hat, i, axis=2, keepdims=False)
-        return acc + external_product_ntt(ggsw, ct1, base_log, levels, plan)
+        inc = external_product_ntt(ggsw, ct1, base_log, levels, plan)
+        if acc_round32:
+            inc = r32(inc)
+        return acc + inc
 
     return lax.fori_loop(0, n, body_fn, acc)
 
@@ -426,7 +437,7 @@ def programmable_bootstrap_pallas(
     plan,
     centered_ms: bool = True,
     extract_nth: int = 0,
-    batch_tile: int = 8,
+    batch_tile: int = 16,
     input_torus_bits: int = 64,
 ) -> jnp.ndarray:
     """Classic PBS on the fused Pallas blind-rotation kernel (TPU hot path).

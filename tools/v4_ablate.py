@@ -30,9 +30,15 @@ rng = np.random.default_rng(0)
 lut = jnp.asarray(rng.integers(0, 1 << 63, (B, R, N), dtype=np.uint64))
 mask = jnp.asarray(rng.integers(0, 2 * N, (B, NSTEPS), dtype=np.uint64))
 body = jnp.asarray(rng.integers(0, 2 * N, (B,), dtype=np.uint64))
-bsk = jnp.asarray(
-    rng.integers(0, min(plan.primes), (NSTEPS, 2, P, LEV * R, R, N),
-                 dtype=np.int64).astype(np.uint32))
+# consistent (g, gsh) Shoup pairs per prime: with an inconsistent dual the
+# product wraps mod 2^32 (not 0 mod p) and exact/approx shoup disagree
+g = np.zeros((NSTEPS, 1, P, LEV * R, R, N), dtype=np.int64)
+for i, p in enumerate(plan.primes):
+    g[:, :, i] = rng.integers(0, int(p), (NSTEPS, 1, LEV * R, R, N),
+                              dtype=np.int64)
+ps = np.asarray(plan.primes, np.uint64).reshape(1, 1, P, 1, 1, 1)
+gsh = ((g.astype(np.uint64) << np.uint64(32)) // ps).astype(np.int64)
+bsk = jnp.asarray(np.concatenate([g, gsh], axis=1).astype(np.uint32))
 
 fn = jax.jit(lambda l, m, b, k: pk.blind_rotate_pallas(
     l, m, b, k, BL, LEV, plan))
