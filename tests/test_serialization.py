@@ -79,3 +79,27 @@ def test_doc_examples_compile():
     r = subprocess.run([sys.executable, "/root/repo/tools/check_docs.py"],
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_backward_compat_corpus():
+    """Frozen serialized artifacts from past format versions must keep
+    deserializing bit-identically (tfhe-backward-compat-data analog:
+    tests/data/ is this framework's compat corpus — extend it on every
+    format bump, never rewrite it)."""
+    import json
+    import numpy as np
+
+    from tfhe_tpu.shortint.client_key import ClientKey
+    from tfhe_tpu.utils.params import PARAM_TEST_TOY
+    from tfhe_tpu.utils.serialization import deserialize
+
+    manifest = json.load(open("/root/repo/tests/data/compat_manifest.json"))
+    blob = open("/root/repo/tests/data/compat_shortint_ck_v1.bin", "rb").read()
+    ck = deserialize(blob, expected_type="ShortintClientKey")
+    # the frozen key must equal a fresh derivation from the recorded seed
+    want = ClientKey.generate(PARAM_TEST_TOY, seed=manifest["seed"])
+    assert np.array_equal(np.asarray(ck.lwe_sk.bits),
+                          np.asarray(want.lwe_sk.bits))
+    # and still decrypt a fresh encryption end-to-end
+    msgs = np.asarray(manifest["msgs"], dtype=np.uint64)
+    assert list(np.asarray(want.decrypt(ck.encrypt(msgs)))) == list(msgs)

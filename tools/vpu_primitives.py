@@ -155,3 +155,62 @@ run_case("mulhi_approx", lambda x: _mul_hi_approx(x, x | U32(1)))
 run_case("shoup_approx_2p", lambda x: _shoup_approx(x, W, WSH, P0))
 run_case("shoup_approx_canon",
          lambda x: pk._condsub(_shoup_approx(x, W, WSH, P0), P0))
+
+
+# --- leading-axis slice+concat cost (group-stage pattern) -----------------
+def run_case3d(name, body, lo=1 << 12, hi=1 << 16):
+    G, BT = 16, 16
+
+    def kernel(n_ref, x_ref, o_ref):
+        def step(i, x):
+            return body(x)
+
+        o_ref[:] = lax.fori_loop(0, n_ref[0], step, x_ref[:])
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G, BT, 128), jnp.uint32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    fn = jax.jit(lambda c, v: call(c, v))
+    x0 = jnp.asarray(
+        np.random.default_rng(0).integers(0, P0, (G, BT, 128), np.uint32))
+    try:
+        t_lo = timed(fn, jnp.full((1,), lo, jnp.int32), x0)
+        t_hi = timed(fn, jnp.full((1,), hi, jnp.int32), x0)
+    except Exception as e:
+        print(json.dumps({"metric": name, "error": str(e)[:120]}), flush=True)
+        return
+    per = max(t_hi - t_lo, 1e-12) / (hi - lo)
+    print(json.dumps({
+        "metric": name, "ns_per_loop": round(per * 1e9, 3),
+        "ps_per_elem": round(per / (16 * 16 * 128) * 1e12, 3),
+    }), flush=True)
+
+
+def _stage_like(x):
+    """One DIF group stage: slice halves, butterfly, concat (no modmul)."""
+    G = x.shape[0]
+    h = G // 2
+    u, v = x[:h], x[h:]
+    return jnp.concatenate([u + v, u - v], axis=0)
+
+
+def _four_stages(x):
+    for st in range(4):
+        m = x.shape[0] >> st
+        pieces = []
+        for b in range(x.shape[0] // m):
+            u = x[b * m: b * m + m // 2]
+            v = x[b * m + m // 2: (b + 1) * m]
+            pieces.append(u + v)
+            pieces.append(u - v)
+        x = jnp.concatenate(pieces, axis=0)
+    return x
+
+
+run_case3d("addsub_only", lambda x: (x + x) - (x >> U32(1)))
+run_case3d("one_stage_concat", _stage_like)
+run_case3d("four_stages_concat", _four_stages)
