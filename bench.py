@@ -64,9 +64,9 @@ def main():
     from tfhe_tpu.keycache import get_shortint_keys
     from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
 
-    # batch scaling (r2 sweep): 256 -> 536, 512 -> 555, 1024 -> 564,
-    # 2048 -> 566 PBS/s; 1024 is the knee
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    # batch scaling (approx-shoup v4, Bt=16): 1024 -> 824, 2048 -> 835
+    # PBS/s; 2048 is the new knee
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     ck, sk = get_shortint_keys(P, seed=42)
 
     mm = P.message_modulus

@@ -1274,8 +1274,14 @@ def _inv_ntt_v4(y, pi, t4c, p, p2, bt, G):
                         preferred_element_type=jnp.int32)
     V0u, V1u = _pair_fold_u(U)
     c16, c16_sh, one_sh = t4c["mxu_consts"][pi]
-    q0 = _mul_hi(V0u, U32(one_sh))
-    r0 = V0u - q0 * p
+    if _SHOUP_MODE == "approx":
+        # Barrett fold with the cheap mulhi: q undershoots by <= 2, so the
+        # raw remainder lands in [0, 4p); fold back under 2p (mod p intact)
+        q0 = _mul_hi_approx(V0u, U32(one_sh))
+        r0 = _condsub_wide(V0u - q0 * p, p + p)
+    else:
+        q0 = _mul_hi(V0u, U32(one_sh))
+        r0 = V0u - q0 * p
     r1 = _shoup(V1u, U32(c16), U32(c16_sh), p)
     s = _condsub(r0 + r1, p2)
     s = _condsub(s + t4c["inv_bias"][pi][None, :], p2)
