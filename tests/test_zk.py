@@ -126,3 +126,86 @@ def test_pke_rejects_tampering(crs):
     a, b, c1, c2 = public
     bad = (a, b, c1, [_i64(c2[0] + (1 << 59))])
     assert not verify(proof, crs, bad, metadata=b"")
+
+
+# ---------------------------------------------------------------------------
+# pke v2 (norm-bound proof, tfhe-zk-pok/src/proofs/pke_v2)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def crs_v2():
+    from tfhe_tpu.zk.pke_v2 import PkeV2Crs
+
+    return PkeV2Crs.generate(d=4, k=1, b_inf=2, q=0, t=8, pad_bits=1,
+                             seed=11)
+
+
+def _gen_testcase_v2(rng, d, k, B, t, pad):
+    # same statement family as v1 but noise bounded by B_inf for the norm
+    return _gen_testcase(rng, d, k, B, t, pad)
+
+
+def test_four_squares():
+    from tfhe_tpu.zk.four_squares import four_squares
+
+    for v in [0, 1, 2, 3, 6, 7, 15, 28, 240, (1 << 97) + 12345]:
+        s = four_squares(v)
+        assert sum(x * x for x in s) == v
+
+
+def test_pke_v2_prove_verify_roundtrip(crs_v2):
+    from tfhe_tpu.zk import pke_v2
+
+    rng = np.random.default_rng(5)
+    public, private, _ = _gen_testcase(rng, 4, 1, 2, 8, 1)
+    proof = pke_v2.prove(crs_v2, public, private, metadata=b"m2", seed=b"s2")
+    assert pke_v2.verify(proof, crs_v2, public, metadata=b"m2")
+
+
+def test_pke_v2_rejects_tampering(crs_v2):
+    from tfhe_tpu.zk import pke_v2
+
+    rng = np.random.default_rng(6)
+    public, private, _ = _gen_testcase(rng, 4, 1, 2, 8, 1)
+    proof = pke_v2.prove(crs_v2, public, private, metadata=b"m", seed=b"s")
+    a, b, c1, c2 = public
+    bad = (a, b, [c1[0] + (1 << 50)] + c1[1:], c2)
+    assert not pke_v2.verify(proof, crs_v2, bad, metadata=b"m")
+    assert not pke_v2.verify(proof, crs_v2, public, metadata=b"other")
+
+
+def test_proven_compact_list_v2_roundtrip():
+    """Same flow as the v1 proven-list test but with the pke_v2 scheme
+    (crs_for_params_v2 — the reference default since v0.11)."""
+    from tfhe_tpu.shortint.compact_public_key import (
+        CompactPrivateKey,
+        CompactPublicKey,
+    )
+    from tfhe_tpu.utils.params import (
+        CompactPublicKeyEncryptionParameters,
+        DynamicDistribution,
+    )
+    from tfhe_tpu.zk.proven_list import (
+        ProvenCompactCiphertextList,
+        crs_for_params_v2,
+    )
+
+    P = CompactPublicKeyEncryptionParameters(
+        encryption_lwe_dimension=16,
+        encryption_noise_distribution=DynamicDistribution.t_uniform(3),
+        message_modulus=4,
+        carry_modulus=4,
+        name="TOY_PKE_ZK2",
+    )
+    priv = CompactPrivateKey.generate(P, seed=5)
+    pk = CompactPublicKey.generate(priv)
+    zk_crs = crs_for_params_v2(P, max_bin_messages=4, seed=2)
+    lst = ProvenCompactCiphertextList.encrypt_and_prove(
+        pk, [3, 0, 2], zk_crs, metadata=b"md2"
+    )
+    ct = lst.verify_and_expand(zk_crs, pk, metadata=b"md2")
+    dec = priv.decrypt_expanded(np.asarray(ct.ct))
+    assert list(dec) == [3, 0, 2]
+
+    lst.ct_list.bodies[0] += np.uint64(1 << 59)
+    assert not lst.verify(zk_crs, pk, metadata=b"md2")

@@ -27,6 +27,16 @@ from ..shortint.compact_public_key import (
 from ..utils.csprng import EncryptionRandomGenerator
 from ..utils.encoding import ShortintEncoding
 from .pke import PkeCrs, PkeProof, prove, verify
+from .pke_v2 import PkeV2Crs
+from . import pke_v2 as _pke_v2
+
+
+def _scheme(crs):
+    """Dispatch on the CRS type: PkeCrs -> v1 (pke.rs), PkeV2Crs -> v2
+    (pke_v2/, shorter norm-bound proofs)."""
+    if isinstance(crs, PkeV2Crs):
+        return _pke_v2.prove, _pke_v2.verify
+    return prove, verify
 
 _U64 = np.uint64
 
@@ -54,6 +64,22 @@ def crs_for_params(params, max_bin_messages: int, seed: int = 0) -> PkeCrs:
         d=params.encryption_lwe_dimension,
         k=max_bin_messages,
         b=noise_bound_pow2(params.encryption_noise_distribution),
+        q=0,
+        t=t,
+        pad_bits=1,
+        seed=seed,
+    )
+
+
+def crs_for_params_v2(params, max_bin_messages: int,
+                      seed: int = 0) -> PkeV2Crs:
+    """pke_v2 CRS for a CompactPublicKeyEncryptionParameters set
+    (zk scheme V2, the reference default since v0.11)."""
+    t = 2 * params.message_modulus * params.carry_modulus
+    return PkeV2Crs.generate(
+        d=params.encryption_lwe_dimension,
+        k=max_bin_messages,
+        b_inf=noise_bound_pow2(params.encryption_noise_distribution),
         q=0,
         t=t,
         pad_bits=1,
@@ -128,9 +154,10 @@ class ProvenCompactCiphertextList:
                     [int(x) for x in chunk],
                     _to_i64_list(e2),
                 )
+                prove_fn, _ = _scheme(crs)
                 proofs.append(
-                    prove(crs, public, private, metadata=metadata,
-                          seed=secrets.token_bytes(32))
+                    prove_fn(crs, public, private, metadata=metadata,
+                             seed=secrets.token_bytes(32))
                 )
         ct_list = CompactCiphertextList(
             masks=masks, bodies=bodies, count=k, params=p,
@@ -154,7 +181,8 @@ class ProvenCompactCiphertextList:
                 _to_i64_list(cl.masks[b]),
                 _to_i64_list(cl.bodies[lo:hi]),
             )
-            if not verify(proof, crs, public, metadata=metadata):
+            _, verify_fn = _scheme(crs)
+            if not verify_fn(proof, crs, public, metadata=metadata):
                 return False
         return True
 
