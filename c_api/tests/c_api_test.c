@@ -46,8 +46,26 @@ int main(void) {
     TfheFheUint *smul = NULL;
     CHECK(tfhe_tpu_fheuint_scalar_mul(a, 3, &smul));
     CHECK(tfhe_tpu_fheuint_decrypt(smul, ck, &clear));
-    if (clear != (27 * 3) % 256) { fprintf(stderr, "scalar_mul: got %llu\n",
-                                           (unsigned long long)clear); return 1; }
+    if (clear != (27ull * 3) % 256) { fprintf(stderr, "smul wrong\n"); return 1; }
+
+    /* round-2 surface: comparisons, min/max, scalar shifts, unary */
+    TfheFheUint *ge = NULL, *mx = NULL, *shl = NULL, *inv = NULL;
+    CHECK(tfhe_tpu_fheuint_ge(a, b, &ge));
+    CHECK(tfhe_tpu_fheuint_decrypt(ge, ck, &clear));
+    if (clear != 1) { fprintf(stderr, "ge wrong\n"); return 1; }
+    CHECK(tfhe_tpu_fheuint_max(a, b, &mx));
+    CHECK(tfhe_tpu_fheuint_decrypt(mx, ck, &clear));
+    if (clear != 27) { fprintf(stderr, "max wrong\n"); return 1; }
+    CHECK(tfhe_tpu_fheuint_scalar_shl(b, 2, &shl));
+    CHECK(tfhe_tpu_fheuint_decrypt(shl, ck, &clear));
+    if (clear != (15ull << 2)) { fprintf(stderr, "shl wrong\n"); return 1; }
+    CHECK(tfhe_tpu_fheuint_not(b, &inv));
+    CHECK(tfhe_tpu_fheuint_decrypt(inv, ck, &clear));
+    if (clear != (~15ull & 0xff)) { fprintf(stderr, "not wrong\n"); return 1; }
+    tfhe_tpu_fheuint_destroy(ge);
+    tfhe_tpu_fheuint_destroy(mx);
+    tfhe_tpu_fheuint_destroy(shl);
+    tfhe_tpu_fheuint_destroy(inv);
 
     /* serialization round trip */
     uint8_t *buf = NULL;

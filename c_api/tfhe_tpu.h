@@ -70,10 +70,22 @@ int tfhe_tpu_fheuint_bitor(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out
 int tfhe_tpu_fheuint_bitxor(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out);
 int tfhe_tpu_fheuint_eq(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out);
 int tfhe_tpu_fheuint_lt(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out);
+int tfhe_tpu_fheuint_ne(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out);
+int tfhe_tpu_fheuint_le(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out);
+int tfhe_tpu_fheuint_gt(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out);
+int tfhe_tpu_fheuint_ge(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out);
+int tfhe_tpu_fheuint_min(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out);
+int tfhe_tpu_fheuint_max(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out);
+int tfhe_tpu_fheuint_div(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out);
+int tfhe_tpu_fheuint_rem(TfheFheUint *lhs, TfheFheUint *rhs, TfheFheUint **out);
+int tfhe_tpu_fheuint_neg(TfheFheUint *ct, TfheFheUint **out);
+int tfhe_tpu_fheuint_not(TfheFheUint *ct, TfheFheUint **out);
 
 /* scalar ops */
 int tfhe_tpu_fheuint_scalar_add(TfheFheUint *lhs, uint64_t rhs, TfheFheUint **out);
 int tfhe_tpu_fheuint_scalar_mul(TfheFheUint *lhs, uint64_t rhs, TfheFheUint **out);
+int tfhe_tpu_fheuint_scalar_shl(TfheFheUint *lhs, uint64_t rhs, TfheFheUint **out);
+int tfhe_tpu_fheuint_scalar_shr(TfheFheUint *lhs, uint64_t rhs, TfheFheUint **out);
 
 /* serialization (caller frees *buf with tfhe_tpu_buffer_destroy) */
 int tfhe_tpu_fheuint_serialize(TfheFheUint *ct, uint8_t **buf, size_t *len);

@@ -282,6 +282,45 @@ int tfhe_tpu_fheuint_eq(TfheFheUint *l, TfheFheUint *r, TfheFheUint **o)
 { return binop(l, r, o, "eq"); }
 int tfhe_tpu_fheuint_lt(TfheFheUint *l, TfheFheUint *r, TfheFheUint **o)
 { return binop(l, r, o, "lt"); }
+int tfhe_tpu_fheuint_ne(TfheFheUint *l, TfheFheUint *r, TfheFheUint **o)
+{ return binop(l, r, o, "ne"); }
+int tfhe_tpu_fheuint_le(TfheFheUint *l, TfheFheUint *r, TfheFheUint **o)
+{ return binop(l, r, o, "le"); }
+int tfhe_tpu_fheuint_gt(TfheFheUint *l, TfheFheUint *r, TfheFheUint **o)
+{ return binop(l, r, o, "gt"); }
+int tfhe_tpu_fheuint_ge(TfheFheUint *l, TfheFheUint *r, TfheFheUint **o)
+{ return binop(l, r, o, "ge"); }
+int tfhe_tpu_fheuint_min(TfheFheUint *l, TfheFheUint *r, TfheFheUint **o)
+{ return binop(l, r, o, "min"); }
+int tfhe_tpu_fheuint_max(TfheFheUint *l, TfheFheUint *r, TfheFheUint **o)
+{ return binop(l, r, o, "max"); }
+int tfhe_tpu_fheuint_div(TfheFheUint *l, TfheFheUint *r, TfheFheUint **o)
+{ return binop(l, r, o, "__floordiv__"); }
+int tfhe_tpu_fheuint_rem(TfheFheUint *l, TfheFheUint *r, TfheFheUint **o)
+{ return binop(l, r, o, "__mod__"); }
+
+static int unop(TfheFheUint *ct, TfheFheUint **out, const char *meth) {
+    REQUIRE_INIT();
+    PyGILState_STATE st = PyGILState_Ensure();
+    int rc = 1;
+    PyObject *res = PyObject_CallMethod(ct->obj, meth, NULL);
+    if (res && res != Py_NotImplemented) {
+        *out = (TfheFheUint *)malloc(sizeof(TfheFheUint));
+        (*out)->obj = res;
+        (*out)->bits = ct->bits;
+        rc = 0;
+    } else {
+        Py_XDECREF(res);
+        set_error_from_python();
+    }
+    PyGILState_Release(st);
+    return rc;
+}
+
+int tfhe_tpu_fheuint_neg(TfheFheUint *ct, TfheFheUint **o)
+{ return unop(ct, o, "__neg__"); }
+int tfhe_tpu_fheuint_not(TfheFheUint *ct, TfheFheUint **o)
+{ return unop(ct, o, "__invert__"); }
 
 static int scalar_op(TfheFheUint *lhs, uint64_t rhs, TfheFheUint **out,
                      const char *dunder) {
@@ -307,6 +346,10 @@ int tfhe_tpu_fheuint_scalar_add(TfheFheUint *l, uint64_t r, TfheFheUint **o)
 { return scalar_op(l, r, o, "__add__"); }
 int tfhe_tpu_fheuint_scalar_mul(TfheFheUint *l, uint64_t r, TfheFheUint **o)
 { return scalar_op(l, r, o, "__mul__"); }
+int tfhe_tpu_fheuint_scalar_shl(TfheFheUint *l, uint64_t r, TfheFheUint **o)
+{ return scalar_op(l, r, o, "__lshift__"); }
+int tfhe_tpu_fheuint_scalar_shr(TfheFheUint *l, uint64_t r, TfheFheUint **o)
+{ return scalar_op(l, r, o, "__rshift__"); }
 
 /* ---------------------------------------------------------------------- */
 
