@@ -190,3 +190,58 @@ def test_blind_rotate_pallas_acc32_bit_exact(monkeypatch):
     assert np.array_equal(np.asarray(ref), np.asarray(got))
     # the rounding contract: every output limb pair has a zero lo half
     assert bool((np.asarray(got) & np.uint64(0xFFFFFFFF) == 0).all())
+
+
+def test_mul_hi_approx_and_condsub_wide_contracts():
+    """The approx-Shoup primitives' documented bounds: q undershoots the
+    exact high product by at most 2, and the compare-free condsub matches
+    the reference select for x < c + 2^31."""
+    rng = np.random.default_rng(23)
+    a = jnp.asarray(rng.integers(0, 1 << 32, 4096, np.int64).astype(np.uint32))
+    b = jnp.asarray(rng.integers(0, 1 << 32, 4096, np.int64).astype(np.uint32))
+    q_exact = np.asarray(pk._mul_hi(a, b)).astype(np.int64)
+    q_approx = np.asarray(pk._mul_hi_approx(a, b)).astype(np.int64)
+    d = q_exact - q_approx
+    assert d.min() >= 0 and d.max() <= 2, (d.min(), d.max())
+    ref = ((np.asarray(a).astype(np.uint64) * np.asarray(b).astype(np.uint64))
+           >> np.uint64(32)).astype(np.int64)
+    assert np.array_equal(q_exact, ref)
+
+    p = np.uint32(0x3FAC0001)
+    x = jnp.asarray(rng.integers(0, 4 * int(p), 4096,
+                                 np.int64).astype(np.uint32))
+    got = np.asarray(pk._condsub_wide(x, np.uint32(2) * p))
+    want = np.where(np.asarray(x) >= 2 * int(p),
+                    np.asarray(x) - 2 * int(p), np.asarray(x))
+    assert np.array_equal(got, want.astype(np.uint32))
+
+
+def test_shoup_modes_agree_mod_p():
+    """exact and approx _shoup agree mod p and both stay < 2p (with a TRUE
+    Shoup dual — the contract both modes require)."""
+    import importlib
+    import os
+
+    rng = np.random.default_rng(29)
+    p = 0x3F5A0001
+    a = jnp.asarray(rng.integers(0, 1 << 32, 2048, np.int64).astype(np.uint32))
+    w = np.uint32(987654321 % p)
+    wsh = np.uint32((int(w) << 32) // p)
+    outs = {}
+    old = os.environ.get("TFHE_V4_SHOUP")
+    try:
+        for mode in ("exact", "approx"):
+            os.environ["TFHE_V4_SHOUP"] = mode
+            importlib.reload(pk)
+            outs[mode] = np.asarray(
+                pk._shoup(a, jnp.uint32(w), jnp.uint32(wsh), jnp.uint32(p))
+            ).astype(np.int64)
+    finally:
+        if old is None:
+            os.environ.pop("TFHE_V4_SHOUP", None)
+        else:
+            os.environ["TFHE_V4_SHOUP"] = old
+        importlib.reload(pk)
+    for mode, r in outs.items():
+        assert (r < 2 * p).all(), mode
+    assert ((outs["exact"] - outs["approx"]) % p == 0).all()

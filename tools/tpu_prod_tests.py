@@ -154,6 +154,66 @@ def integer_oracle(params):
            f"batch 2 in {t64:.2f}s")
 
 
+def multibit_exhaustive():
+    """Production multi-bit PBS (grouping 2): exhaustive LUT + a chained
+    second LUT (keycache-backed: the ~17 min keygen is paid once)."""
+    from tfhe_tpu.keycache import get_shortint_keys
+    from tfhe_tpu.utils.params import (
+        PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS as MB,
+    )
+
+    t0 = time.perf_counter()
+    ck, sk = get_shortint_keys(MB, seed=7)
+    t_kg = time.perf_counter() - t0
+    msgs = np.arange(16, dtype=np.uint64)
+    ct = ck.encrypt(msgs)
+    lut = sk.generate_lookup_table(lambda x: (3 * x + 1) % 16)
+    t0 = time.perf_counter()
+    out = sk.apply_lookup_table(ct, lut)
+    got = np.asarray(jax.device_get(ck.decrypt_message_and_carry(out)))
+    t_pbs = time.perf_counter() - t0
+    ok1 = np.array_equal(got, (3 * msgs + 1) % 16)
+    lut2 = sk.generate_lookup_table(lambda x: (x * x) % 16)
+    out2 = sk.apply_lookup_table(out, lut2)
+    got2 = np.asarray(jax.device_get(ck.decrypt_message_and_carry(out2)))
+    ok2 = np.array_equal(got2, ((3 * msgs + 1) % 16) ** 2 % 16)
+    record(
+        "multi-bit group-2 2_2 exhaustive LUT (production "
+        f"PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS, n={MB.lwe_dimension}, "
+        f"N={MB.polynomial_size})",
+        ok1 and ok2,
+        f"keygen {t_kg:.0f}s; PBS+decrypt {t_pbs:.1f}s; chained 2nd LUT "
+        + ("also exact" if ok2 else "MISMATCH"))
+
+
+def compression_roundtrip(params):
+    """Production 2_2 list compression: 64 cts -> packed GLWEs (batched
+    packing keyswitch) -> decompress via the dedicated BSK -> exact."""
+    from tfhe_tpu.keycache import get_shortint_keys
+    from tfhe_tpu.shortint import list_compression as lc
+    from tfhe_tpu.shortint.client_key import ClientKey
+    from tfhe_tpu.utils.params_registry import get as get_params
+
+    sck, ssk = get_shortint_keys(params, seed=42)
+    cp = get_params("COMP_PARAM_MESSAGE_2_CARRY_2")
+    t0 = time.perf_counter()
+    priv = lc.new_compression_private_key(sck, cp)
+    comp_key, dec_key = lc.new_compression_decompression_keys(sck, priv)
+    t_kg = time.perf_counter() - t0
+    msgs = np.arange(64, dtype=np.uint64) % 4
+    cts = sck.encrypt(msgs)
+    t0 = time.perf_counter()
+    packed = lc.compress(comp_key, cts)
+    out = lc.decompress(packed, dec_key, ssk)
+    got = np.asarray(jax.device_get(sck.decrypt_message_and_carry(out)))
+    t_rt = time.perf_counter() - t0
+    record(
+        "list compression 64 cts (production COMP_PARAM_MESSAGE_2_CARRY_2)",
+        np.array_equal(got, msgs),
+        f"keygen {t_kg:.0f}s; compress+decompress {t_rt:.1f}s; "
+        f"storage {packed.storage.nbytes} B for 64 cts")
+
+
 def main():
     from tfhe_tpu.utils.params import (
         PARAM_MESSAGE_2_CARRY_2_KS_PBS,
@@ -165,6 +225,8 @@ def main():
     shortint_sweep(PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM, "2_2_tuniform_2M128")
     boolean_tables()
     integer_oracle(PARAM_MESSAGE_2_CARRY_2_KS_PBS)
+    compression_roundtrip(PARAM_MESSAGE_2_CARRY_2_KS_PBS)
+    multibit_exhaustive()
     wall = time.time() - t0
 
     n_pass = sum(1 for _, ok, _ in results if ok)
