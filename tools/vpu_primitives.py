@@ -214,3 +214,9 @@ def _four_stages(x):
 run_case3d("addsub_only", lambda x: (x + x) - (x >> U32(1)))
 run_case3d("one_stage_concat", _stage_like)
 run_case3d("four_stages_concat", _four_stages)
+
+
+# condsub via unsigned-wrap minimum (x>=c -> x-c < x; else wraps huge):
+# NOT viable — Mosaic has no u32 minimum lowering (remote_compile HTTP 500),
+# and the signed-reinterpret variant picks the wrong side. The where-based
+# _condsub (0.9 ps/elem) stands.
