@@ -10,6 +10,8 @@ Run: python tools/check_docs.py [--run]
 import re
 import sys
 
+sys.path.insert(0, "/root/repo")  # tool lives in tools/, imports tfhe_tpu
+
 DOCS = ["README.md", "PERF_NOTES.md", "TESTS_TPU.md"]
 FENCE = re.compile(r"```python\n(.*?)```", re.DOTALL)
 
