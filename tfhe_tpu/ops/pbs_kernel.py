@@ -1355,7 +1355,8 @@ def _negacyclic_rot_v4_hi(hi, a_bits, lane_idx, G, log_2n):
 
 def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                          tabs4: _KernelTablesV4, unroll: int = 1,
-                         acc32: bool = False):
+                         acc32: bool = False, ablate: str = "",
+                         garner_chunk: int = 0):
     log_2n = n.bit_length()
     G = tabs4.G
     P = num_primes
@@ -1372,9 +1373,11 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
 
     # timing-only ablation switches (tools/v4_ablate.py): each named piece
     # is replaced by a shape/dtype-preserving stub so t_full - t_ablated
-    # measures its in-situ marginal cost; outputs are garbage when set
-    abl = frozenset(
-        filter(None, os.environ.get("TFHE_V4_ABLATE", "").split(",")))
+    # measures its in-situ marginal cost; outputs are garbage when set.
+    # The value arrives as an explicit build argument (part of the
+    # _build_step_fn_v4 cache key — a leaked env var can no longer silently
+    # poison a cached kernel; blind_rotate_pallas warns loudly when active)
+    abl = frozenset(filter(None, ablate.split(",")))
 
     def one_step(hi, lo, a_bits, bsk, t4c, lane_idx):
         """hi/lo: lists of R [G, Bt, 128]; bsk: [2, P, l*R, R, G, 128].
@@ -1479,7 +1482,7 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
         # live-register relief: optionally run the recombination in G-slices
         # so the chain's ~10 concurrently-live [G, Bt, 128] tensors shrink
         # to [gch, Bt, 128] (64 physical vregs; whole-plane chains spill)
-        gch = int(os.environ.get("TFHE_V4_GARNER_CHUNK", "0") or 0)
+        gch = garner_chunk
         for c in range(R):
             m = [residues[pi][c] for pi in range(P)]
             if "garner" in abl:
@@ -1553,14 +1556,16 @@ class _DotRef:
 
 @functools.lru_cache(maxsize=None)
 def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
-                      unroll=1, acc32=False):
+                      unroll=1, acc32=False, ablate="", garner_chunk=0):
     """fn(a_ms[U,1,B,1], bsk_step[U,2,P,l*R,R,G,128], acc_hi, acc_lo)
     -> (acc_hi, acc_lo), accs u32[R, G, B, 128] in group-leading transposed
     layout. acc32: single-plane accumulator (acc_u64 = hi * 2^32);
-    fn(a_ms, bsk_step, acc) -> acc."""
+    fn(a_ms, bsk_step, acc) -> acc. ``ablate``/``garner_chunk`` are part of
+    the cache key (bench-only; see _make_step_kernel_v4)."""
     tabs4 = _get_tables_v4(n, num_primes, base_log)
     kernel = _make_step_kernel_v4(n, num_primes, base_log, levels, R, tabs4,
-                                  unroll=unroll, acc32=acc32)
+                                  unroll=unroll, acc32=acc32, ablate=ablate,
+                                  garner_chunk=garner_chunk)
     P = num_primes
     G = tabs4.G
     consts = [tabs4.fwd_w8, tabs4.inv_w8, tabs4.tw, tabs4.tw_inv,
@@ -1757,8 +1762,18 @@ def blind_rotate_pallas(
     bsk_scan = bsk_scan.reshape((nsteps // unroll, unroll) + bsk_scan.shape[1:])
 
     if use_v4:
+        ablate = os.environ.get("TFHE_V4_ABLATE", "")
+        if ablate:
+            import warnings
+
+            warnings.warn(
+                f"TFHE_V4_ABLATE={ablate!r} is set: the blind-rotation "
+                "kernel is running with stubbed stages and produces "
+                "GARBAGE outputs (bench-only mode)", stacklevel=2)
+        gch = int(os.environ.get("TFHE_V4_GARNER_CHUNK", "0") or 0)
         step_fn = _build_step_fn_v4(n, P, base_log, levels, R, batch_tile,
-                                    unroll, acc32=use_acc32)
+                                    unroll, acc32=use_acc32, ablate=ablate,
+                                    garner_chunk=gch)
     else:
         step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile,
                                  unroll, use_v2=use_v2, use_mxu=use_mxu)

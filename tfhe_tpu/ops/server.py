@@ -484,6 +484,66 @@ def programmable_bootstrap_pallas(
     return out.reshape(batch + (out.shape[-1],))
 
 
+def programmable_bootstrap_goldilocks(
+    ct_in: jnp.ndarray,
+    lut: jnp.ndarray,
+    bsk_g: jnp.ndarray,
+    base_log: int,
+    levels: int,
+    centered_ms: bool = True,
+    extract_nth: int = 0,
+    batch_tile: int = 16,
+    input_torus_bits: int = 64,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Classic PBS on the single-prime Goldilocks (BNF) transform path —
+    the v5 TPU hot path (see ops/goldilocks.py for the arithmetic model;
+    reference ``ntt64_bnf_pbs.rs:174-260``).
+
+    ``bsk_g``: u32[n, 2, l*R, R, G, 128] from
+    ``goldilocks.bootstrap_key_to_goldilocks``. ``use_pallas=False`` runs
+    the jnp oracle twin (bit-identical outputs; CPU tests)."""
+    from . import goldilocks as gl
+    from . import pbs_kernel_g as pkg
+
+    G = bsk_g.shape[4]
+    N = G * 128
+    log_modulus = N.bit_length()
+    if centered_ms:
+        ms_mask, ms_body = lwe_centered_binary_modulus_switch(
+            ct_in, log_modulus, input_torus_bits)
+    else:
+        ms_mask, ms_body = lwe_standard_modulus_switch(
+            ct_in, log_modulus, input_torus_bits)
+
+    batch = ct_in.shape[:-1]
+    n_small = ct_in.shape[-1] - 1
+    R = bsk_g.shape[3]
+    B = 1
+    for d in batch:
+        B *= d
+    ms_mask = ms_mask.reshape(B, n_small)
+    ms_body = ms_body.reshape(B)
+    lut_b = jnp.broadcast_to(lut, batch + lut.shape[-2:]).reshape(
+        (B,) + lut.shape[-2:])
+    if use_pallas:
+        pad = (-B) % batch_tile
+        if pad:
+            ms_mask = jnp.concatenate([ms_mask, ms_mask[:pad]], 0)
+            ms_body = jnp.concatenate([ms_body, ms_body[:pad]], 0)
+            lut_b = jnp.concatenate([lut_b, lut_b[:pad]], 0)
+        rotated = pkg.blind_rotate_goldilocks_pallas(
+            lut_b, ms_mask, ms_body, bsk_g, base_log, levels,
+            batch_tile=batch_tile)
+        if pad:
+            rotated = rotated[:B]
+    else:
+        rotated = gl.blind_rotate_goldilocks(
+            lut_b, ms_mask, ms_body, bsk_g, base_log, levels)
+    out = sample_extract(rotated, extract_nth)
+    return out.reshape(batch + (out.shape[-1],))
+
+
 def programmable_bootstrap(
     ct_in: jnp.ndarray,
     lut: jnp.ndarray,

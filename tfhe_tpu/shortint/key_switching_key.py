@@ -134,7 +134,7 @@ class KeySwitchingKey:
         # destination is the small key: run the PBS directly (the ct already
         # sits under the PBS input key)
         _, pbs_only, _ = dsk._fns
-        out = pbs_only(mid.ct, lut.acc, dsk.bsk_scan)
+        out = pbs_only(mid.ct, lut.acc, dsk.pbs_bsk)
         return ShortintCiphertext(
             ct=out, degree=lut.degree, noise_level=NOMINAL_NOISE,
             message_modulus=dp.message_modulus,

@@ -14,6 +14,7 @@ server_keys.rs:27-100) and ``core_crypto/algorithms/lwe_packing_keyswitch.rs``.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, List
 
@@ -189,6 +190,37 @@ class CompressedCiphertextList:
     params: CompressionParameters
 
 
+@functools.lru_cache(maxsize=None)
+def _get_pack_fn(base_log: int, levels: int, N_c: int, n_big: int, R_c: int,
+                 num_primes: int):
+    """Module-level jitted packing keyswitch (one compile per geometry;
+    avoids the per-call retrace of a closure-local jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    plan_c = ntt_mod.get_plan(N_c, num_primes)
+
+    @jax.jit
+    def pack(a, bvals, pksk_hat):
+        digits = decompose(a, base_log, levels)
+        # digit polynomials P_{g,j,lev}(X) = sum_i digit_{g,i,j,lev} X^i
+        polys = jnp.zeros(
+            (a.shape[0], n_big, levels, N_c), dtype=jnp.int64)
+        polys = polys.at[..., : a.shape[1]].set(jnp.moveaxis(digits, 1, -1))
+        dhat = plan_c.fwd(polys)  # [P, g, n_big, l, N_c]
+        prod = (
+            dhat[..., None, :].astype(jnp.uint64)
+            * pksk_hat[:, None].astype(jnp.uint64)
+        ) % plan_c.p_like(5)
+        acc_hat = jnp.sum(prod, axis=(2, 3)) % plan_c.p_like(3)  # [P,g,R,N]
+        mac = plan_c.reconstruct_u64(plan_c.inv(acc_hat))  # [g, R_c, N_c]
+        body = jnp.zeros((a.shape[0], R_c, N_c), dtype=jnp.uint64)
+        body = body.at[:, R_c - 1, : a.shape[1]].set(bvals)
+        return body - mac
+
+    return pack
+
+
 def compress(
     comp_key: CompressionKey, cts: ShortintCiphertext
 ) -> CompressedCiphertextList:
@@ -215,28 +247,16 @@ def compress(
     a_all = padded[:, :n_big].reshape(n_glwe, per, n_big)
     b_all = padded[:, n_big].reshape(n_glwe, per)
 
-    @jax.jit
-    def pack(a, bvals):
-        digits = decompose(a, cp.packing_ks_base_log, cp.packing_ks_level)
-        # digit polynomials P_{g,j,lev}(X) = sum_i digit_{g,i,j,lev} X^i
-        polys = jnp.zeros(
-            (a.shape[0], n_big, cp.packing_ks_level, N_c), dtype=jnp.int64)
-        polys = polys.at[..., : a.shape[1]].set(jnp.moveaxis(digits, 1, -1))
-        dhat = plan_c.fwd(polys)  # [P, g, n_big, l, N_c]
-        prod = (
-            dhat[..., None, :].astype(jnp.uint64)
-            * comp_key.pksk_hat[:, None].astype(jnp.uint64)
-        ) % plan_c.p_like(5)
-        acc_hat = jnp.sum(prod, axis=(2, 3)) % plan_c.p_like(3)  # [P,g,R,N]
-        mac = plan_c.reconstruct_u64(plan_c.inv(acc_hat))  # [g, R_c, N_c]
-        body = jnp.zeros((a.shape[0], R_c, N_c), dtype=jnp.uint64)
-        body = body.at[:, R_c - 1, : a.shape[1]].set(bvals)
-        return body - mac
+    # compiled once per (params, geometry) signature — the key rides as a
+    # traced argument, so repeated compress() calls hit the jit cache
+    pack = _get_pack_fn(cp.packing_ks_base_log, cp.packing_ks_level,
+                        N_c, n_big, R_c, comp_key.num_primes)
 
     tile = 8  # GLWEs per dispatch (bounds dhat device memory)
     glwes = [
         np.asarray(pack(jnp.asarray(a_all[i : i + tile]),
-                        jnp.asarray(b_all[i : i + tile])))
+                        jnp.asarray(b_all[i : i + tile]),
+                        comp_key.pksk_hat))
         for i in range(0, n_glwe, tile)
     ]
     stored = np.concatenate(glwes)  # [n_glwe, R_c, N_c] u64

@@ -72,6 +72,12 @@ def generate_oblivious_pseudo_random(
             jnp.asarray(ct)[None], jnp.asarray(acc), server_key.bsk_scan[0],
             p_.pbs_base_log, p_.pbs_level, grouping, plan,
         )[0]
+    elif server_key.ntt_variant == "v5":
+        out = server_ops.programmable_bootstrap_goldilocks(
+            jnp.asarray(ct)[None], jnp.asarray(acc), server_key.bsk_scan_g,
+            p_.pbs_base_log, p_.pbs_level, centered_ms=False,
+            use_pallas=use_pallas_default(),
+        )[0]
     elif use_pallas_default():
         out = server_ops.programmable_bootstrap_pallas(
             jnp.asarray(ct)[None], jnp.asarray(acc), server_key.bsk_scan,

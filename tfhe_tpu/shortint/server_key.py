@@ -38,9 +38,32 @@ def use_pallas_default() -> bool:
     return jax.default_backend() != "cpu"
 
 
+#: default transform variant for the classic-PBS hot path. "v5" = the
+#: single-prime Goldilocks/BNF kernel (ops/pbs_kernel_g.py, reference
+#: ntt64_bnf_pbs.rs analog); "crt" = the exact 4-prime CRT path (v1-v4
+#: kernels, ops/pbs_kernel.py). Override with TFHE_NTT_VARIANT; ineligible
+#: shapes (multi-bit, N outside [256, 8192], wide decompositions) always
+#: fall back to CRT.
+_DEFAULT_VARIANT = "crt"
+
+
+def resolve_variant(poly_size: int, pbs_base_log: int, pbs_levels: int,
+                    grouping: int = 0) -> str:
+    """'v5' or 'crt' for the given PBS shape, honoring TFHE_NTT_VARIANT."""
+    import os
+
+    from ..ops import pbs_kernel_g as pkg
+
+    v = os.environ.get("TFHE_NTT_VARIANT", _DEFAULT_VARIANT)
+    if (v == "v5" and not grouping
+            and pkg.eligible(poly_size, pbs_base_log, pbs_levels)):
+        return "v5"
+    return "crt"
+
+
 def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
                    poly_size, num_primes, centered_ms, use_pallas, grouping=0,
-                   ks32=False, order="ks_pbs"):
+                   ks32=False, order="ks_pbs", variant="crt"):
     """One compiled atomic-pattern pipeline per parameter signature.
 
     ``order``: 'ks_pbs' (standard KS->PBS), 'pbs_ks' (small-key ciphertexts,
@@ -56,13 +79,20 @@ def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_leve
 
     sig = (key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
            poly_size, num_primes, centered_ms, use_pallas, grouping, ks32,
-           order)
+           order, variant)
     if sig in _jitted_ks_pbs_cache:
         return _jitted_ks_pbs_cache[sig]
     plan = ntt_mod.get_plan(poly_size, num_primes)
     in_bits = 32 if ks32 else 64
 
-    if grouping:
+    if variant == "v5" and not grouping:
+        def _pbs(ct_small, lut_acc, bsk):
+            return server_ops.programmable_bootstrap_goldilocks(
+                ct_small, lut_acc, bsk, pbs_base_log, pbs_levels,
+                centered_ms=centered_ms, input_torus_bits=in_bits,
+                use_pallas=use_pallas,
+            )
+    elif grouping:
         def _pbs(ct_small, lut_acc, bsk):
             return server_ops.multi_bit_programmable_bootstrap(
                 ct_small, lut_acc, bsk[0],
@@ -128,6 +158,41 @@ class ServerKey:
         from ..ops.pbs_kernel import scan_to_legacy_layout
 
         return scan_to_legacy_layout(self.bsk_scan, self.params.pbs_level)
+
+    # ------------------------------------------------------------------
+    # transform-variant selection (classic PBS hot path)
+    # ------------------------------------------------------------------
+    @property
+    def ntt_variant(self) -> str:
+        """'v5' (Goldilocks single-prime BNF kernel) or 'crt'."""
+        p = self.params
+        return resolve_variant(
+            p.polynomial_size, p.pbs_base_log, p.pbs_level,
+            getattr(p, "grouping_factor", 0) or 0)
+
+    @property
+    def bsk_scan_g(self) -> Any:
+        """Goldilocks NTT-domain BSK u32[n, 2, l*R, R, G, 128], derived
+        lazily. generate() pre-seeds the cache from the raw standard-domain
+        key; for deserialized keys it is recovered EXACTLY from the CRT
+        form (the 4-prime NTT is an exact invertible map on u64 polys)."""
+        cached = getattr(self, "_bsk_g_cache", None)
+        if cached is None:
+            from ..ops import goldilocks as gl
+
+            p = self.params
+            res = self.bsk_hat[0].astype("uint64")  # [P, n, l, R, R, N]
+            std = self._plan.reconstruct_u64(self._plan.inv(res))
+            object.__setattr__(self, "_bsk_g_cache",
+                               gl.bootstrap_key_to_goldilocks(std))
+            cached = self._bsk_g_cache
+        return cached
+
+    @property
+    def pbs_bsk(self) -> Any:
+        """The NTT-domain BSK for the active transform variant (what the
+        compiled ks_pbs/pbs_only pipelines expect as their ``bsk`` arg)."""
+        return self.bsk_scan_g if self.ntt_variant == "v5" else self.bsk_scan
 
     # ------------------------------------------------------------------
     @classmethod
@@ -254,6 +319,7 @@ class ServerKey:
             grouping=getattr(p, "grouping_factor", 0) or 0,
             ks32=self._is_ks32(p),
             order=self._ap_order,
+            variant=self.ntt_variant,
         )
 
     @property
@@ -366,7 +432,32 @@ class ServerKey:
             msm, msb = server_ops.lwe_standard_modulus_switch(small, log_modulus)
         batch = small.shape[:-1]
         lut_b = jnp.broadcast_to(many.acc, batch + many.acc.shape)
-        if use_pallas_default() and not getattr(p, "grouping_factor", 0):
+        variant = self.ntt_variant
+        if variant == "v5":
+            from ..ops import goldilocks as gl
+            from ..ops import pbs_kernel_g as pkg
+
+            flat_lut = lut_b.reshape((-1,) + many.acc.shape)
+            Bflat = flat_lut.shape[0]
+            pad = (-Bflat) % 8
+            mm_ = msm.reshape(-1, msm.shape[-1])
+            mb_ = msb.reshape(-1)
+            if pad:
+                flat_lut = jnp.concatenate([flat_lut, flat_lut[:pad]], 0)
+                mm_ = jnp.concatenate([mm_, mm_[:pad]], 0)
+                mb_ = jnp.concatenate([mb_, mb_[:pad]], 0)
+            if use_pallas_default():
+                rotated = pkg.blind_rotate_goldilocks_pallas(
+                    flat_lut, mm_, mb_, self.bsk_scan_g,
+                    p.pbs_base_log, p.pbs_level, batch_tile=8)
+            else:
+                rotated = gl.blind_rotate_goldilocks(
+                    flat_lut, mm_, mb_, self.bsk_scan_g,
+                    p.pbs_base_log, p.pbs_level)
+            if pad:
+                rotated = rotated[:Bflat]
+            rotated = rotated.reshape(batch + many.acc.shape)
+        elif use_pallas_default() and not getattr(p, "grouping_factor", 0):
             from ..ops import pbs_kernel as pk
 
             flat_lut = lut_b.reshape((-1,) + many.acc.shape)
@@ -420,7 +511,7 @@ class ServerKey:
 
         trace.add_pbs(int(np.prod(ct.ct.shape[:-1])) or 1)
         trace.add_ks(int(np.prod(ct.ct.shape[:-1])) or 1)
-        out = ks_pbs(ct.ct, lut.acc, self.ksk_i8, self.bsk_scan)
+        out = ks_pbs(ct.ct, lut.acc, self.ksk_i8, self.pbs_bsk)
         return ShortintCiphertext(
             ct=out,
             degree=lut.degree,

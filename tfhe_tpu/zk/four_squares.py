@@ -24,7 +24,14 @@ def _is_prime(n: int) -> bool:
     while d % 2 == 0:
         d //= 2
         s += 1
-    for a in _SMALL_PRIMES:  # deterministic for n < 3.3e24; strong anyway
+    bases = list(_SMALL_PRIMES)
+    if n >= (1 << 81):
+        # the 12 fixed bases are only proven deterministic for n < 3.3e24;
+        # production b^2 - ||e||^2 candidates exceed 2^80, so add seeded
+        # random bases (error probability <= 4^-20 per candidate)
+        rnd = random.Random(n)
+        bases += [rnd.randrange(2, n - 1) for _ in range(20)]
+    for a in bases:
         x = pow(a, d, n)
         if x in (1, n - 1):
             continue

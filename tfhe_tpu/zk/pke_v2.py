@@ -256,7 +256,13 @@ def prove(crs: PkeV2Crs, public, private, metadata: bytes = b"",
     r, e1, m, e2 = private
     d = crs.d
     k = len(c2)
-    assert k <= crs.k and len(a) == d and len(c1) == d
+    # soundness-critical input validation: real exceptions, not asserts
+    # (asserts are stripped under python -O, which would let an unsound
+    # proof be emitted past the CRS bound)
+    if not (k <= crs.k and len(a) == d and len(c1) == d):
+        raise ValueError(
+            f"statement shape mismatch: k={k} (max {crs.k}), "
+            f"len(a)={len(a)}, len(c1)={len(c1)}, d={d}")
     n = crs.n
     q = crs.decoded_q
     delta = crs.delta
@@ -265,7 +271,9 @@ def prove(crs: PkeV2Crs, public, private, metadata: bytes = b"",
     L = D + 128 * mb
 
     e_sqr_norm = sum(x * x for x in e1) + sum(x * x for x in e2)
-    assert b_squared >= e_sqr_norm, "noise exceeds the CRS bound"
+    if b_squared < e_sqr_norm:
+        raise ValueError("noise exceeds the CRS bound: "
+                         f"||e||^2 = {e_sqr_norm} > B^2 = {b_squared}")
 
     g = G1.generator()
     g_hat = G2.generator()
