@@ -428,23 +428,34 @@ def _seg_bias_int(pair_ok) -> int:
     return total
 
 
-def _fwd_ntt_g(L, tg, bt, G):
+def _fwd_ntt_g(L, tg, bt, G, abl=frozenset()):
     """Forward transform from pre-split digit limbs.
 
     ``L``: [G*Bt, nl_in*128] int8. Returns (hi, lo) [G, Bt, 128] u64
     representatives in v5 point order (lane = k mod 128, group g holds
     k1 = bitrev(g)). Matmul -> recombine -> T twiddle -> shift-only group
-    DIF stages."""
-    U = lax.dot_general(L, tg["fwd_w8"], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)  # [G*Bt, 1024]
-    planes = [U[:, 128 * b:128 * (b + 1)] for b in range(8)]
-    hi, lo = _recombine8(planes, tg["fwd_pair_ok"],
-                         tg["fwd_bias"][0][None, :], tg["fwd_bias"][1][None, :])
+    DIF stages. ``abl``: timing-only stubs (see tools/v5_ablate.py)."""
+    if "matmul_f" in abl:
+        planes = [L[:, :128].astype(I32)] * 8
+    else:
+        U = lax.dot_general(L, tg["fwd_w8"], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)  # [G*Bt, 1024]
+        planes = [U[:, 128 * b:128 * (b + 1)] for b in range(8)]
+    if "recomb_f" in abl:
+        hi = planes[0].astype(U32)
+        lo = planes[1].astype(U32)
+    else:
+        hi, lo = _recombine8(planes, tg["fwd_pair_ok"],
+                             tg["fwd_bias"][0][None, :],
+                             tg["fwd_bias"][1][None, :])
     hi = hi.reshape(G, bt, 128)
     lo = lo.reshape(G, bt, 128)
     # T twiddle (per-group constant rows)
-    w4 = tuple(tg["tw"][q][:, None, :] for q in range(4))
-    hi, lo = _gmul_pair(hi, lo, w4)
+    if "tw_f" not in abl:
+        w4 = tuple(tg["tw"][q][:, None, :] for q in range(4))
+        hi, lo = _gmul_pair(hi, lo, w4)
+    if "stages_f" in abl:
+        return hi, lo
     # group-axis DIF stages: butterflies with +/- 2^k twiddles
     for st in range(tg["log_g"]):
         m = G >> st
@@ -470,9 +481,46 @@ def _fwd_ntt_g(L, tg, bt, G):
     return hi, lo
 
 
-def _inv_ntt_g(hi, lo, tg, bt, G):
+def _inv_ntt_g(hi, lo, tg, bt, G, abl=frozenset()):
     """Inverse transform: (hi, lo) [G, Bt, 128] representatives ->
     CANONICAL standard-domain coefficients mod p (transposed layout)."""
+    if "stages_i" in abl:
+        pass
+    else:
+        hi, lo = _inv_group_stages(hi, lo, tg, G)
+    if "tw_i" not in abl:
+        w4 = tuple(tg["tw_inv"][q][:, None, :] for q in range(4))
+        hi, lo = _gmul_pair(hi, lo, w4)
+    # 8-limb offset split of the u64 representative (linear mod p, so any
+    # representative works) -> inverse lane matmul
+    hif = hi.reshape(G * bt, 128).astype(I32)
+    lof = lo.reshape(G * bt, 128).astype(I32)
+    limbs = []
+    for j in range(4):
+        limbs.append(((((lof >> I32(8 * j)) & I32(255)) - I32(128))
+                      .astype(jnp.int8)))
+    for j in range(4):
+        limbs.append(((((hif >> I32(8 * j)) & I32(255)) - I32(128))
+                      .astype(jnp.int8)))
+    L = jnp.concatenate(limbs, axis=-1)  # [G*Bt, 1024]
+    if "matmul_i" in abl:
+        planes = [L[:, :128].astype(I32)] * 8
+    else:
+        U = lax.dot_general(L, tg["inv_w8"], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        planes = [U[:, 128 * b:128 * (b + 1)] for b in range(8)]
+    if "recomb_i" in abl:
+        rhi = planes[0].astype(U32)
+        rlo = planes[1].astype(U32)
+    else:
+        rhi, rlo = _recombine8(planes, tg["inv_pair_ok"],
+                               tg["inv_bias"][0][None, :],
+                               tg["inv_bias"][1][None, :])
+        rhi, rlo = _canon_pair(rhi, rlo)
+    return rhi.reshape(G, bt, 128), rlo.reshape(G, bt, 128)
+
+
+def _inv_group_stages(hi, lo, tg, G):
     for st in reversed(range(tg["log_g"])):
         m = G >> st
         h = m >> 1
@@ -492,28 +540,7 @@ def _inv_ntt_g(hi, lo, tg, bt, G):
         order = sorted(range(len(pieces_hi)), key=lambda t: pieces_hi[t][0])
         hi = jnp.concatenate([pieces_hi[t][1] for t in order], axis=0)
         lo = jnp.concatenate([pieces_lo[t][1] for t in order], axis=0)
-    w4 = tuple(tg["tw_inv"][q][:, None, :] for q in range(4))
-    hi, lo = _gmul_pair(hi, lo, w4)
-    # 8-limb offset split of the u64 representative (linear mod p, so any
-    # representative works) -> inverse lane matmul
-    hif = hi.reshape(G * bt, 128).astype(I32)
-    lof = lo.reshape(G * bt, 128).astype(I32)
-    limbs = []
-    for j in range(4):
-        limbs.append(((((lof >> I32(8 * j)) & I32(255)) - I32(128))
-                      .astype(jnp.int8)))
-    for j in range(4):
-        limbs.append(((((hif >> I32(8 * j)) & I32(255)) - I32(128))
-                      .astype(jnp.int8)))
-    L = jnp.concatenate(limbs, axis=-1)  # [G*Bt, 1024]
-    U = lax.dot_general(L, tg["inv_w8"], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-    planes = [U[:, 128 * b:128 * (b + 1)] for b in range(8)]
-    rhi, rlo = _recombine8(planes, tg["inv_pair_ok"],
-                           tg["inv_bias"][0][None, :],
-                           tg["inv_bias"][1][None, :])
-    rhi, rlo = _canon_pair(rhi, rlo)
-    return rhi.reshape(G, bt, 128), rlo.reshape(G, bt, 128)
+    return hi, lo
 
 
 # ---------------------------------------------------------------------------
@@ -521,9 +548,12 @@ def _inv_ntt_g(hi, lo, tg, bt, G):
 # ---------------------------------------------------------------------------
 
 def _make_step_kernel_g(n, base_log, levels, R, tg_tabs: _KernelTablesG,
-                        unroll: int = 1):
+                        unroll: int = 1, ablate: str = ""):
     log_2n = n.bit_length()
     G = tg_tabs.G
+    # timing-only ablation stubs (tools/v5_ablate.py); part of the
+    # _build_step_fn_g cache key, outputs are garbage when set
+    abl = frozenset(filter(None, ablate.split(",")))
 
     def one_step(hi, lo, a_bits, bsk, tg, lane_idx):
         """hi/lo: lists of R [G, Bt, 128] u32 (accumulator mod 2^64);
@@ -531,32 +561,50 @@ def _make_step_kernel_g(n, base_log, levels, R, tg_tabs: _KernelTablesG,
         bt = hi[0].shape[1]
         per_r_digits = []
         for r in range(R):
-            rhi, rlo = _negacyclic_rot_v4(hi[r], lo[r], a_bits, lane_idx,
-                                          G, log_2n)
-            dhi, dlo = _sub64(rhi, rlo, hi[r], lo[r])
-            per_r_digits.append(_decompose_u32(dhi, dlo, base_log, levels))
+            if "rot" in abl:
+                dhi, dlo = hi[r], lo[r]
+            else:
+                rhi, rlo = _negacyclic_rot_v4(hi[r], lo[r], a_bits, lane_idx,
+                                              G, log_2n)
+                dhi, dlo = _sub64(rhi, rlo, hi[r], lo[r])
+            if "decomp" in abl:
+                per_r_digits.append([dhi.astype(I32)] * levels)
+            else:
+                per_r_digits.append(
+                    _decompose_u32(dhi, dlo, base_log, levels))
         digit_polys = [per_r_digits[r][lev]
                        for lev in range(levels) for r in range(R)]
-        Ls = [_split_digits_i8(d, tg_tabs.nl_in, tg_tabs.in_offset)
-              for d in digit_polys]
-        dhat = [_fwd_ntt_g(L, tg, bt, G) for L in Ls]
+        if "split" in abl:
+            Ls = [jnp.concatenate(
+                [(d.reshape(G * bt, 128) & I32(127)).astype(jnp.int8)]
+                * tg_tabs.nl_in, axis=-1) for d in digit_polys]
+        else:
+            Ls = [_split_digits_i8(d, tg_tabs.nl_in, tg_tabs.in_offset)
+                  for d in digit_polys]
+        dhat = [_fwd_ntt_g(L, tg, bt, G, abl) for L in Ls]
 
         for c in range(R):
-            mhi = mlo = None
-            for j in range(levels * R):
-                w_hi = bsk[0, j, c][:, None, :]   # [G, 1, 128]
-                w_lo = bsk[1, j, c][:, None, :]
-                w4 = (w_hi >> U32(16), w_hi & U32(0xFFFF),
-                      w_lo >> U32(16), w_lo & U32(0xFFFF))
-                th, tl = _gmul_pair(dhat[j][0], dhat[j][1], w4)
-                if mhi is None:
-                    mhi, mlo = th, tl
-                else:
-                    mhi, mlo = _pair_add_wrap(mhi, mlo, th, tl)
-            rhi, rlo = _inv_ntt_g(mhi, mlo, tg, bt, G)  # canonical mod p
+            if "mac" in abl:
+                mhi, mlo = dhat[c % len(dhat)]
+            else:
+                mhi = mlo = None
+                for j in range(levels * R):
+                    w_hi = bsk[0, j, c][:, None, :]   # [G, 1, 128]
+                    w_lo = bsk[1, j, c][:, None, :]
+                    w4 = (w_hi >> U32(16), w_hi & U32(0xFFFF),
+                          w_lo >> U32(16), w_lo & U32(0xFFFF))
+                    th, tl = _gmul_pair(dhat[j][0], dhat[j][1], w4)
+                    if mhi is None:
+                        mhi, mlo = th, tl
+                    else:
+                        mhi, mlo = _pair_add_wrap(mhi, mlo, th, tl)
+            rhi, rlo = _inv_ntt_g(mhi, mlo, tg, bt, G, abl)  # canonical
             # switch back to the 2^64 torus: t = x + (x >> 32)  (the spec —
             # bit-identical to goldilocks.field_to_torus), then accumulate
-            thi, tlo = _add64(rhi, rlo, jnp.zeros_like(rhi), rhi)
+            if "modswitch" in abl:
+                thi, tlo = rhi, rlo
+            else:
+                thi, tlo = _add64(rhi, rlo, jnp.zeros_like(rhi), rhi)
             hi[c], lo[c] = _add64(hi[c], lo[c], thi, tlo)
         return hi, lo
 
@@ -585,12 +633,14 @@ def _make_step_kernel_g(n, base_log, levels, R, tg_tabs: _KernelTablesG,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_step_fn_g(n, base_log, levels, R, batch_tile, unroll=1):
+def _build_step_fn_g(n, base_log, levels, R, batch_tile, unroll=1,
+                     ablate=""):
     """fn(a_ms[U,1,B,1], bsk_step[U,2,l*R,R,G,128], acc_hi, acc_lo)
     -> (acc_hi, acc_lo), accs u32[R, G, B, 128] (group-leading transposed
-    layout, same as v4)."""
+    layout, same as v4). ``ablate`` is bench-only (garbage outputs)."""
     tabs = _get_tables_g(n, base_log)
-    kernel = _make_step_kernel_g(n, base_log, levels, R, tabs, unroll=unroll)
+    kernel = _make_step_kernel_g(n, base_log, levels, R, tabs, unroll=unroll,
+                                 ablate=ablate)
     G = tabs.G
     consts = [tabs.fwd_w8, tabs.inv_w8, tabs.tw, tabs.tw_inv,
               tabs.fwd_bias, tabs.inv_bias]
@@ -689,7 +739,15 @@ def blind_rotate_goldilocks_pallas(
     a_scan = a_scan.reshape((nsteps // unroll, unroll) + a_scan.shape[1:])
     bsk_scan = bsk_g.reshape((nsteps // unroll, unroll) + bsk_g.shape[1:])
 
-    step_fn = _build_step_fn_g(n, base_log, levels, R, batch_tile, unroll)
+    ablate = os.environ.get("TFHE_V5_ABLATE", "")
+    if ablate:
+        import warnings
+
+        warnings.warn(
+            f"TFHE_V5_ABLATE={ablate!r}: v5 kernel stages are stubbed — "
+            "outputs are GARBAGE (bench-only mode)", stacklevel=2)
+    step_fn = _build_step_fn_g(n, base_log, levels, R, batch_tile, unroll,
+                               ablate=ablate)
 
     def body(carry, xs):
         hi, lo = carry
