@@ -1,0 +1,194 @@
+"""v6 (2-prime BNF) tests: scalar-map specs vs python ints, kernel parity
+(bit-exact) against the jnp oracle ``bnf2.blind_rotate_bnf2`` in interpret
+mode, and end-to-end shortint correctness with TFHE_NTT_VARIANT=v6."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tfhe_tpu.ops import bnf2 as b2
+from tfhe_tpu.ops import pbs_kernel as pk
+
+rng = np.random.default_rng(0x66F)
+
+EDGE = np.array([0, 1, (1 << 32) - 1, 1 << 32, (1 << 63),
+                 (1 << 64) - 1, b2.QP - 1, b2.QP, b2.QP + 1],
+                dtype=np.uint64)
+
+
+def test_torus_to_qp_exact_round():
+    b = np.concatenate([rng.integers(0, 1 << 64, 500, dtype=np.uint64), EDGE])
+    out = np.asarray(b2.torus_to_qp(jnp.asarray(b)))
+    for i in range(len(b)):
+        want = ((int(b[i]) * b2.QP + (1 << 63)) >> 64) % b2.QP
+        assert int(out[i]) == want, (i, int(b[i]))
+
+
+def test_crt2_merge_exact():
+    x = np.concatenate([
+        rng.integers(0, b2.QP, 500, dtype=np.uint64),
+        np.array([0, 1, b2.QP - 1], dtype=np.uint64)])
+    r0 = jnp.asarray(x % np.uint64(b2.P0))
+    r1 = jnp.asarray(x % np.uint64(b2.P1))
+    out = np.asarray(b2.crt2_merge(r0, r1))
+    np.testing.assert_array_equal(out, x)
+
+
+def test_qp_to_torus_error_bound():
+    """The spec formula tracks round(x * 2^64 / QP) within [-20, 1]."""
+    x = np.concatenate([rng.integers(0, b2.QP, 500, dtype=np.uint64),
+                        np.array([0, 1, b2.QP - 1], dtype=np.uint64)])
+    out = np.asarray(b2.qp_to_torus(jnp.asarray(x)))
+    for i in range(len(x)):
+        exact = ((int(x[i]) << 64) + b2.QP // 2) // b2.QP
+        diff = (int(out[i]) - exact) % (1 << 64)
+        if diff > (1 << 63):
+            diff -= 1 << 64
+        assert -20 <= diff <= 1, (int(x[i]), diff)
+
+
+def test_rescale_roundtrip_torus_error():
+    """torus -> Z_q' -> torus is the identity within ~(2^64/QP)/2 + 20."""
+    b = rng.integers(0, 1 << 64, 500, dtype=np.uint64)
+    t = np.asarray(b2.qp_to_torus(b2.torus_to_qp(jnp.asarray(b))))
+    diff = (t.astype(np.int64) - b.astype(np.int64))
+    assert np.abs(diff).max() <= 40, np.abs(diff).max()
+
+
+def _kernel_bnf2_c_host(r0, r1):
+    """Run the in-kernel bnf2 recombination formula on u32 numpy arrays
+    (mirrors pbs_kernel._make_step_kernel_v4's bnf2_c via the same jnp
+    primitives outside a kernel)."""
+    U32 = jnp.uint32
+    m0 = jnp.asarray(r0.astype(np.uint32))
+    m1 = jnp.asarray(r1.astype(np.uint32))
+    p1 = U32(b2.P1)
+    diff = p1 + p1 + m1 - m0
+    v1 = pk._condsub(
+        pk._shoup(diff, U32(b2.INV01), U32(b2.INV01_SH), p1), p1)
+    x_hi, x_lo = pk._mul_hi_lo(v1, U32(b2.P0))
+    nlo = x_lo + m0
+    x_hi = x_hi + (nlo < x_lo).astype(U32)
+    x_lo = nlo
+    b_hi, b_lo = pk._mul_hi_lo(x_lo, U32(b2.G1))
+    c_hi, c_lo = pk._mul_hi_lo(x_hi, U32(b2.G0))
+    d_hi, d_lo = pk._mul_hi_lo(x_hi, U32(b2.G1))
+    s_lo = b_lo + c_lo
+    s_hi = b_hi + c_hi + (s_lo < b_lo).astype(U32)
+    r_lo = (s_lo >> U32(28)) | (s_hi << U32(4))
+    r_hi = s_hi >> U32(28)
+    u_hi, u_lo = pk._add64(r_hi, r_lo,
+                           (d_hi << U32(4)) | (d_lo >> U32(28)),
+                           d_lo << U32(4))
+    t_hi, t_lo = pk._add64(u_hi, u_lo,
+                           (x_hi << U32(4)) | (x_lo >> U32(28)),
+                           x_lo << U32(4))
+    return ((np.asarray(t_hi).astype(np.uint64) << np.uint64(32))
+            | np.asarray(t_lo).astype(np.uint64))
+
+
+def test_kernel_recomb_matches_oracle_spec():
+    """The u32-pair kernel recombination == crt2_merge + qp_to_torus."""
+    x = np.concatenate([rng.integers(0, b2.QP, 500, dtype=np.uint64),
+                        np.array([0, 1, b2.QP - 1], dtype=np.uint64)])
+    r0 = x % np.uint64(b2.P0)
+    r1 = x % np.uint64(b2.P1)
+    got = _kernel_bnf2_c_host(r0, r1)
+    want = np.asarray(b2.qp_to_torus(b2.crt2_merge(
+        jnp.asarray(r0), jnp.asarray(r1))))
+    np.testing.assert_array_equal(got, want)
+
+
+def _toy_inputs(batch=4, n_small=8, seed=3, p_n=256):
+    levels, R, blog = 1, 2, 23
+    r = np.random.default_rng(seed)
+    lut = r.integers(0, 1 << 64, size=(batch, R, p_n), dtype=np.uint64)
+    mask = r.integers(0, 2 * p_n, size=(batch, n_small), dtype=np.uint64)
+    body = r.integers(0, 2 * p_n, size=(batch,), dtype=np.uint64)
+    bsk_std = r.integers(0, 1 << 64,
+                         size=(n_small, levels, R, R, p_n), dtype=np.uint64)
+    bsk2 = b2.bootstrap_key_to_bnf2(bsk_std)
+    return lut, mask, body, bsk2, blog, levels
+
+
+def test_blind_rotate_parity_vs_oracle():
+    """v6 kernel (interpret mode) == jnp oracle, bit-exact, random data."""
+    lut, mask, body, bsk2, blog, levels = _toy_inputs()
+    want = np.asarray(b2.blind_rotate_bnf2(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels))
+    got = np.asarray(pk.blind_rotate_pallas(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels, b2.get_plan2(256), batch_tile=2, unroll=2, bnf2=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_blind_rotate_parity_unroll1():
+    lut, mask, body, bsk2, blog, levels = _toy_inputs(batch=2, n_small=5,
+                                                      seed=9)
+    want = np.asarray(b2.blind_rotate_bnf2(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels))
+    got = np.asarray(pk.blind_rotate_pallas(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels, b2.get_plan2(256), batch_tile=2, unroll=1, bnf2=True))
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end shortint with TFHE_NTT_VARIANT=v6
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def v6_env(monkeypatch):
+    monkeypatch.setenv("TFHE_NTT_VARIANT", "v6")
+
+
+def test_variant_resolution(v6_env):
+    from tfhe_tpu.shortint.client_key import ClientKey
+    from tfhe_tpu.shortint.server_key import ServerKey
+    from tfhe_tpu.utils.params import PARAM_TEST_TOY as p
+
+    ck = ClientKey.generate(p, seed=11)
+    sk = ServerKey.generate(ck)
+    assert sk.ntt_variant == "v6"
+    assert sk.bsk_scan_b.shape == (
+        p.lwe_dimension, 2, 2, p.pbs_level * 2, 2, p.polynomial_size)
+
+
+def test_apply_lookup_table_v6(v6_env):
+    from tfhe_tpu.shortint.client_key import ClientKey
+    from tfhe_tpu.shortint.server_key import ServerKey
+    from tfhe_tpu.utils.params import PARAM_TEST_TOY as p
+
+    ck = ClientKey.generate(p, seed=11)
+    sk = ServerKey.generate(ck)
+    mm = p.message_modulus
+    lut = sk.generate_lookup_table(lambda x: (x * x + 1) % mm)
+    for m in range(mm):
+        ct = ck.encrypt(m)
+        out = sk.apply_lookup_table(ct, lut)
+        assert int(ck.decrypt(out)) == (m * m + 1) % mm, m
+
+
+def test_bsk_b_roundtrip_derivation(v6_env):
+    """The lazy CRT->standard->BNF2 derivation must equal the direct
+    embedding of the raw standard-domain key."""
+    from tfhe_tpu.core import algorithms as algo
+    from tfhe_tpu.core.algorithms import bootstrap_key_to_ntt
+    from tfhe_tpu.ops.pbs_kernel import bsk_to_scan_layout
+    from tfhe_tpu.shortint.client_key import ClientKey
+    from tfhe_tpu.shortint.server_key import ServerKey
+    from tfhe_tpu.utils.params import PARAM_TEST_TOY as p
+
+    ck = ClientKey.generate(p, seed=13)
+    bsk = algo.gen_bootstrap_key(ck.lwe_sk, ck.glwe_sk, p.pbs_base_log,
+                                 p.pbs_level, p.glwe_noise_distribution,
+                                 ck._keygen_gen)
+    hat = bootstrap_key_to_ntt(bsk, 4)
+    sk = ServerKey(params=p, ksk=None, ksk_i8=None,
+                   bsk_scan=bsk_to_scan_layout(hat.residues), num_primes=4)
+    direct = np.asarray(b2.bootstrap_key_to_bnf2(np.asarray(bsk.data)))
+    derived = np.asarray(sk.bsk_scan_b)
+    np.testing.assert_array_equal(derived, direct)

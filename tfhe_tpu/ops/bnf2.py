@@ -1,0 +1,238 @@
+"""Two-prime BNF transform domain ("v6"): external products computed mod
+q' = p0 * p1 (~2^60, the first two Plan32 primes) with the bootstrap key
+rounded ONCE into Z_q' at key-prep time.
+
+This generalizes the BNF ("bridge to NTT-friendly") idea of the reference's
+NTT64 path (``core_crypto/algorithms/lwe_programmable_bootstrapping/
+ntt64_bnf_pbs.rs:174-260``, ``commons/math/ntt/ntt64.rs:166-260``) from one
+64-bit prime to a 2-prime CRT of 30-bit primes — the sweet spot for the TPU
+VPU, whose lanes are 32-bit:
+
+- the exact CRT path (v4, ops/pbs_kernel.py) needs FOUR 30-bit primes to
+  bound the integer convolution (~2^99 for 2_2 parameters) and spends a
+  measured 45% of the kernel step in the Garner reconstruction;
+- the Goldilocks path (v5, ops/pbs_kernel_g.py) needs only ONE prime but
+  pays (hi, lo) u32-pair carry arithmetic on every butterfly/MAC — measured
+  0.95x of v4;
+- v6 keeps v4's single-word u32 lane arithmetic AND the BNF semantics:
+  TWO transforms per polynomial, a 2-term CRT merge, and a fixed-point
+  multiply back to the 2^64 torus.
+
+Arithmetic model (mirrors ntt64_bnf_pbs.rs):
+
+- ciphertexts/accumulator stay mod 2^64;
+- BSK coefficients are rescaled once: b' = round(b * q' / 2^64) in [0, q')
+  (error <= 0.5 q'-units = 2^64/q' / 2 ~ 8 torus units per coefficient);
+- gadget-decomposition digits are exact small signed integers, embedded
+  mod each prime (offset-split int8 limbs, same kernel matmul as v4);
+- the NTT mod p_i computes the integer convolution digits (*) b' mod p_i;
+  the 2-term CRT merge yields it mod q' — exactly the wrap-around
+  semantics we want, since (x mod q') * 2^64 / q' is consistent mod 2^64;
+- the switch back to the torus is the fixed-point multiply
+  t = floor(x * F / 2^60) with F = floor(2^124 / q') = 2^64 + g, computed
+  as t = (x << 4) + ((x0*g1 + x1*g0) >> 28) + ((x1*g1) << 4) mod 2^64
+  (the x0*g0 term is DROPPED: its contribution is < 16 torus units —
+  this exact dropped-term formula IS the spec, mirrored bit-for-bit by
+  the Pallas kernel).
+
+Error budget at 2_2 production parameters (base_log 23, 1 level, k=1,
+N=2048, n=866): per-step output-coefficient error std ~= 16 * 2^22 *
+sqrt(2*2048/12) / sqrt(12) ~ 2^30, switch-back bias <= 18/step; over 866
+steps ~2^35 std — negligible against the >= 2^47 intrinsic PBS noise and
+the 2^58 decryption margin (statistically tested in tests/test_bnf2.py,
+same harness as the v5 Goldilocks path).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import ntt as ntt_mod
+
+_U64 = jnp.uint64
+_M32 = (1 << 32) - 1
+
+#: the two ~30-bit primes of the v6 domain (tfhe-ntt Plan32 order)
+P0: int = ntt_mod.PRIMES32[0]
+P1: int = ntt_mod.PRIMES32[1]
+QP: int = P0 * P1  # ~2^59.97
+
+#: CRT merge constant: p0^{-1} mod p1 (x = r0 + p0 * ((r1 - r0) * INV01))
+INV01: int = pow(P0, P1 - 2, P1)
+INV01_SH: int = (INV01 << 32) // P1
+
+#: fixed-point switch-back: F = floor(2^124 / q') = 2^64 + G_CONST
+G_CONST: int = (1 << 124) // QP - (1 << 64)
+assert 0 < G_CONST < (1 << 60)
+G1: int = G_CONST >> 32
+G0: int = G_CONST & _M32
+
+
+def get_plan2(n: int) -> ntt_mod.NegacyclicNtt:
+    """The 2-prime transform plan for polynomial size ``n``."""
+    return ntt_mod.get_plan(n, 2)
+
+
+def eligible(n: int, base_log: int, levels: int) -> bool:
+    """Same kernel envelope as v4 (the v6 kernel IS the v4 kernel with a
+    different recombination tail): N in [256, 32768] on 128-lane tiles and
+    decomposition digits that fit the u32 decomposer. The q'-rounding noise
+    is always dominated by the decomposer's own 2^(64 - blog*l) rounding
+    term within this envelope (see module docstring)."""
+    return (256 <= n <= 32768 and n % 128 == 0 and (n & (n - 1)) == 0
+            and base_log * levels <= 31)
+
+
+# ---------------------------------------------------------------------------
+# scalar maps (jnp u64, vectorized) — the oracle spec
+# ---------------------------------------------------------------------------
+
+def torus_to_qp(b: jnp.ndarray) -> jnp.ndarray:
+    """round(b * QP / 2^64) for torus values b mod 2^64; output in [0, QP).
+
+    The one-time BSK embedding (analog of ntt64.rs:166
+    ``modswitch_from_power_of_two_to_ntt_prime``). b < 2^64 and QP < 2^60,
+    so the result is < QP except for b within ~2^4 of 2^64, where the
+    round can reach exactly QP — folded back to 0 (same class mod q')."""
+    b = jnp.asarray(b, dtype=_U64)
+    q = _U64(QP)
+    qh = q >> _U64(32)
+    ql = q & _U64(_M32)
+    bh = b >> _U64(32)
+    bl = b & _U64(_M32)
+    ll = bl * ql
+    lh = bl * qh
+    hl = bh * ql
+    hh = bh * qh
+    mid = lh + hl  # < 2^63 + 2^60: no u64 overflow (qh < 2^28)
+    lo = ll + (mid << _U64(32))
+    hi = hh + (mid >> _U64(32)) + (lo < ll).astype(_U64)
+    out = hi + (lo >> _U64(63))  # + rounding bit
+    return jnp.where(out >= q, out - q, out)
+
+
+def crt2_merge(r0: jnp.ndarray, r1: jnp.ndarray) -> jnp.ndarray:
+    """Canonical residues (r0 mod P0, r1 mod P1) -> x in [0, QP) u64."""
+    r0 = r0.astype(_U64)
+    r1 = r1.astype(_U64)
+    d = jnp.remainder(r1 + _U64(P1) - r0, _U64(P1))
+    v1 = jnp.remainder(d * _U64(INV01), _U64(P1))  # < 2^60 product: exact
+    return r0 + _U64(P0) * v1
+
+
+def qp_to_torus(x: jnp.ndarray) -> jnp.ndarray:
+    """Switch x in [0, QP) back to the 2^64 torus.
+
+    SPEC formula (the Pallas kernel matches it bit for bit):
+        t = (x << 4) + ((x0*G1 + x1*G0) >> 28) + ((x1*G1) << 4)  mod 2^64
+    with x = x1*2^32 + x0. Undershoots round(x * 2^64 / QP) by at most
+    ~18 (dropped x0*G0 term + floor); the deficit is pure noise at torus
+    scale (see module docstring)."""
+    x = jnp.asarray(x, dtype=_U64)
+    x0 = x & _U64(_M32)
+    x1 = x >> _U64(32)
+    s = x0 * _U64(G1) + x1 * _U64(G0)  # < 2^61: exact
+    d = x1 * _U64(G1)  # < 2^55: exact
+    return (x << _U64(4)) + (s >> _U64(28)) + (d << _U64(4))
+
+
+# ---------------------------------------------------------------------------
+# BSK preparation
+# ---------------------------------------------------------------------------
+
+def bootstrap_key_to_bnf2(bsk: np.ndarray) -> jnp.ndarray:
+    """Standard-domain BSK u64[n, l, R, R, N] (torus mod 2^64) -> v6
+    NTT-domain scan layout u32[n, 2, 2, l*R, R, N] (residue+shoup planes,
+    2 primes), directly consumable by ``pbs_kernel.blind_rotate_pallas``.
+
+    Each coefficient is rescaled into Z_q' (``torus_to_qp``) then
+    forward-transformed mod each prime — the one-time key embedding of the
+    BNF scheme (ntt64_bnf_pbs.rs:174)."""
+    import jax
+
+    from .pbs_kernel import bsk_to_scan_layout
+
+    bsk = jnp.asarray(bsk, dtype=_U64)
+    nlwe, l, R, R2, N = bsk.shape
+    plan = get_plan2(N)
+
+    @jax.jit
+    def fwd(x):
+        res = plan.fwd(torus_to_qp(x))  # [2, n, l, R, R, N] residues
+        p = plan.p_like(res.ndim - 1)
+        shoup = (res << jnp.uint64(32)) // p  # cold path (keygen only)
+        return jnp.stack([res, shoup]).astype(jnp.uint32)
+
+    return bsk_to_scan_layout(fwd(bsk))
+
+
+# ---------------------------------------------------------------------------
+# jnp oracle blind rotation (bit-exact twin of the v6 Pallas kernel)
+# ---------------------------------------------------------------------------
+
+def blind_rotate_bnf2(
+    lut: jnp.ndarray,
+    msed_mask: jnp.ndarray,
+    msed_body: jnp.ndarray,
+    bsk_scan2: jnp.ndarray,
+    base_log: int,
+    levels: int,
+) -> jnp.ndarray:
+    """jnp oracle of the v6 kernel: blind rotation with external products
+    computed mod q' (2-prime CRT), accumulator mod 2^64.
+
+    Bit-exact contract with the kernel: mod-p_i NTT math is exact, the
+    inverse outputs are canonical residues, and the CRT merge + torus
+    switch follow ``crt2_merge``/``qp_to_torus`` exactly.
+
+    ``lut``: u64[B, R, N]; ``msed_mask``: u64[B, n] in [0, 2N);
+    ``msed_body``: u64[B]; ``bsk_scan2``: u32[n, 2, 2, l*R, R, N].
+    Returns u64[B, R, N].
+    """
+    from .decomp import decompose
+    from .pbs_kernel import scan_to_legacy_layout
+    from .polynomial import monomial_div, monomial_mul
+
+    N = lut.shape[-1]
+    R = lut.shape[-2]
+    plan = get_plan2(N)
+    nsteps = bsk_scan2.shape[0]
+    # [2(res/shoup), 2(P), n, l, R, R, N] -> residues u64 [n, P, l*R, R, N]
+    legacy = scan_to_legacy_layout(bsk_scan2, levels)
+    bres = jnp.moveaxis(legacy[0].astype(_U64), 1, 0)
+    bres = bres.reshape(nsteps, 2, levels * R, R, N)
+
+    acc = monomial_div(lut, msed_body[..., None])
+    p_arr = [jnp.uint64(P0), jnp.uint64(P1)]
+
+    def body_fn(i, acc):
+        a_i = lax.dynamic_index_in_dim(msed_mask, i, axis=-1, keepdims=False)
+        ct1 = monomial_mul(acc, a_i[..., None]) - acc
+        digits = decompose(ct1, base_log, levels)  # [B, R, N, l] signed
+        digits = jnp.moveaxis(digits, -1, -3)  # [B, l, R, N]
+        dhat = plan.fwd_digits(
+            digits.reshape(digits.shape[0], levels * R, N).astype(jnp.int64)
+        )  # [P, B, l*R, N] residues < p
+        g_i = lax.dynamic_index_in_dim(bres, i, axis=0, keepdims=False)
+        res_c = []
+        for c in range(R):
+            per_p = []
+            for pi in range(2):
+                p = p_arr[pi]
+                acc_m = None
+                for j in range(levels * R):
+                    term = jnp.remainder(
+                        dhat[pi, :, j] * g_i[pi, j, c][None], p)
+                    acc_m = term if acc_m is None else jnp.remainder(
+                        acc_m + term, p)
+                per_p.append(acc_m)
+            # inverse expects [P, ..., N]
+            r = plan.inv(jnp.stack(per_p))  # canonical residues
+            x = crt2_merge(r[0], r[1])
+            res_c.append(qp_to_torus(x))
+        inc = jnp.stack(res_c, axis=-2)  # [B, R, N]
+        return acc + inc
+
+    return lax.fori_loop(0, nsteps, body_fn, acc)

@@ -1356,7 +1356,7 @@ def _negacyclic_rot_v4_hi(hi, a_bits, lane_idx, G, log_2n):
 def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                          tabs4: _KernelTablesV4, unroll: int = 1,
                          acc32: bool = False, ablate: str = "",
-                         garner_chunk: int = 0):
+                         garner_chunk: int = 0, bnf2: bool = False):
     log_2n = n.bit_length()
     G = tabs4.G
     P = num_primes
@@ -1370,6 +1370,12 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
     mxu_consts = tuple(
         (int(tabs4.c16[i]), int(tabs4.c16_sh[i]), int(tabs4.one_sh[i]))
         for i in range(P))
+    if bnf2:
+        # v6: 2-prime BNF recombination constants (ops/bnf2.py is the spec)
+        from . import bnf2 as bnf2_mod
+
+        assert P == 2 and primes == (bnf2_mod.P0, bnf2_mod.P1)
+        assert not acc32, "bnf2 + acc32 not supported"
 
     # timing-only ablation switches (tools/v4_ablate.py): each named piece
     # is replaced by a shape/dtype-preserving stub so t_full - t_ablated
@@ -1479,6 +1485,39 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
             return (jnp.where(sign, neg_hi, pos_hi),
                     jnp.where(sign, neg_lo, pos_lo))
 
+        def bnf2_c(m):
+            """v6 recombination: 2-term CRT merge to x in [0, q') then the
+            fixed-point switch back to the 2^64 torus (spec: ops/bnf2.py
+            ``crt2_merge`` + ``qp_to_torus``, mirrored bit for bit)."""
+            from . import bnf2 as b2
+
+            p1 = U32(b2.P1)
+            # v1 = (r1 - r0) * inv01 mod p1  (r0 < p0 < 2*p1: diff < 3p1)
+            diff = p1 + p1 + m[1] - m[0]
+            v1 = _condsub(_shoup(diff, U32(b2.INV01), U32(b2.INV01_SH), p1),
+                          p1)
+            # x = r0 + p0 * v1 < q' < 2^60
+            x_hi, x_lo = _mul_hi_lo(v1, U32(b2.P0))
+            nlo = x_lo + m[0]
+            x_hi = x_hi + (nlo < x_lo).astype(U32)
+            x_lo = nlo
+            # t = (x<<4) + ((x0*G1 + x1*G0) >> 28) + ((x1*G1) << 4) mod 2^64
+            b_hi, b_lo = _mul_hi_lo(x_lo, U32(b2.G1))
+            c_hi, c_lo = _mul_hi_lo(x_hi, U32(b2.G0))
+            d_hi, d_lo = _mul_hi_lo(x_hi, U32(b2.G1))
+            s_lo = b_lo + c_lo
+            s_hi = b_hi + c_hi + (s_lo < b_lo).astype(U32)  # s < 2^61
+            r_lo = (s_lo >> U32(28)) | (s_hi << U32(4))
+            r_hi = s_hi >> U32(28)
+            u_hi, u_lo = _add64(r_hi, r_lo,
+                                (d_hi << U32(4)) | (d_lo >> U32(28)),
+                                d_lo << U32(4))
+            return _add64(u_hi, u_lo,
+                          (x_hi << U32(4)) | (x_lo >> U32(28)),
+                          x_lo << U32(4))
+
+        recomb = bnf2_c if bnf2 else garner_c
+
         # live-register relief: optionally run the recombination in G-slices
         # so the chain's ~10 concurrently-live [G, Bt, 128] tensors shrink
         # to [gch, Bt, 128] (64 physical vregs; whole-plane chains spill)
@@ -1492,12 +1531,12 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                     hi[c], lo[c] = _add64(hi[c], lo[c], m[0], m[P - 1])
                 continue
             if 0 < gch < G:
-                parts = [garner_c([x[g0:g0 + gch] for x in m])
+                parts = [recomb([x[g0:g0 + gch] for x in m])
                          for g0 in range(0, G, gch)]
                 ehi = jnp.concatenate([t[0] for t in parts], axis=0)
                 elo = jnp.concatenate([t[1] for t in parts], axis=0)
             else:
-                ehi, elo = garner_c(m)
+                ehi, elo = recomb(m)
             if acc32:
                 # round the increment to a multiple of 2^32:
                 # round(x / 2^32) = ehi + [elo >= 2^31] — the only acc32
@@ -1556,16 +1595,18 @@ class _DotRef:
 
 @functools.lru_cache(maxsize=None)
 def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
-                      unroll=1, acc32=False, ablate="", garner_chunk=0):
+                      unroll=1, acc32=False, ablate="", garner_chunk=0,
+                      bnf2=False):
     """fn(a_ms[U,1,B,1], bsk_step[U,2,P,l*R,R,G,128], acc_hi, acc_lo)
     -> (acc_hi, acc_lo), accs u32[R, G, B, 128] in group-leading transposed
     layout. acc32: single-plane accumulator (acc_u64 = hi * 2^32);
     fn(a_ms, bsk_step, acc) -> acc. ``ablate``/``garner_chunk`` are part of
-    the cache key (bench-only; see _make_step_kernel_v4)."""
+    the cache key (bench-only; see _make_step_kernel_v4). ``bnf2``: the
+    2-prime BNF recombination tail (v6, ops/bnf2.py spec)."""
     tabs4 = _get_tables_v4(n, num_primes, base_log)
     kernel = _make_step_kernel_v4(n, num_primes, base_log, levels, R, tabs4,
                                   unroll=unroll, acc32=acc32, ablate=ablate,
-                                  garner_chunk=garner_chunk)
+                                  garner_chunk=garner_chunk, bnf2=bnf2)
     P = num_primes
     G = tabs4.G
     consts = [tabs4.fwd_w8, tabs4.inv_w8, tabs4.tw, tabs4.tw_inv,
@@ -1691,6 +1732,7 @@ def blind_rotate_pallas(
     plan: ntt_mod.NegacyclicNtt,
     batch_tile: int = 16,
     unroll: int = 2,
+    bnf2: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for :func:`tfhe_tpu.ops.server.blind_rotate`
     (same contract) using the fused Pallas step kernel, ``unroll`` steps per
@@ -1698,6 +1740,9 @@ def blind_rotate_pallas(
 
     ``lut``: u64[B, R, N]; ``msed_mask``: u64[B, n] in [0, 2N);
     ``msed_body``: u64[B]; ``bsk_scan``: u32[n, 2, P, l*R, R, N].
+    ``bnf2``: v6 mode — ``bsk_scan`` holds the 2-prime BNF key
+    (ops/bnf2.py ``bootstrap_key_to_bnf2``) and the recombination tail is
+    the CRT merge + torus switch instead of the exact Garner.
     """
     from .polynomial import monomial_div
 
@@ -1712,8 +1757,13 @@ def blind_rotate_pallas(
     # into an int8 MXU matmul; 'v3' = flat layout with MXU small stages;
     # 'v2' = transposed sublane slices; 'v1' = lane rolls
     variant = os.environ.get("TFHE_NTT_VARIANT", "v4")
+    if bnf2:
+        # v6: the v4 kernel body with the 2-prime BNF recombination tail;
+        # caller guarantees eligibility (ops/bnf2.py eligible())
+        variant = "v4"
     use_v4 = (variant == "v4" and n >= 256 and n % 128 == 0
               and base_log * levels <= 31)
+    assert use_v4 or not bnf2, (n, base_log, levels)
     use_v2 = variant != "v1" and n >= 256 and n % 128 == 0
     # Mosaic rejects the (Bt, n)->(Bt*n/128, 128) relayout for small n
     # ("unsupported shape cast"); the MXU variant is for production sizes
@@ -1730,7 +1780,7 @@ def blind_rotate_pallas(
     # noise at production parameters). Mirrored exactly by the jnp
     # oracle's acc_round32 flag.
     acc_mode = os.environ.get("TFHE_V4_ACC", "64")
-    use_acc32 = use_v4 and acc_mode == "32"
+    use_acc32 = use_v4 and acc_mode == "32" and not bnf2
 
     if use_v4:
         G = n // 128
@@ -1773,7 +1823,7 @@ def blind_rotate_pallas(
         gch = int(os.environ.get("TFHE_V4_GARNER_CHUNK", "0") or 0)
         step_fn = _build_step_fn_v4(n, P, base_log, levels, R, batch_tile,
                                     unroll, acc32=use_acc32, ablate=ablate,
-                                    garner_chunk=gch)
+                                    garner_chunk=gch, bnf2=bnf2)
     else:
         step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile,
                                  unroll, use_v2=use_v2, use_mxu=use_mxu)

@@ -544,6 +544,65 @@ def programmable_bootstrap_goldilocks(
     return out.reshape(batch + (out.shape[-1],))
 
 
+def programmable_bootstrap_bnf2(
+    ct_in: jnp.ndarray,
+    lut: jnp.ndarray,
+    bsk_scan2: jnp.ndarray,
+    base_log: int,
+    levels: int,
+    centered_ms: bool = True,
+    extract_nth: int = 0,
+    batch_tile: int = 16,
+    input_torus_bits: int = 64,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Classic PBS on the 2-prime BNF transform path — the v6 TPU hot path
+    (see ops/bnf2.py for the arithmetic model; reference
+    ``ntt64_bnf_pbs.rs:174-260`` generalized to a 30-bit prime pair).
+
+    ``bsk_scan2``: u32[n, 2, 2, l*R, R, N] from
+    ``bnf2.bootstrap_key_to_bnf2``. ``use_pallas=False`` runs the jnp
+    oracle twin (bit-identical outputs; CPU tests)."""
+    from . import bnf2 as b2
+    from . import pbs_kernel as pk
+
+    N = bsk_scan2.shape[5]
+    plan2 = b2.get_plan2(N)
+    log_modulus = N.bit_length()
+    if centered_ms:
+        ms_mask, ms_body = lwe_centered_binary_modulus_switch(
+            ct_in, log_modulus, input_torus_bits)
+    else:
+        ms_mask, ms_body = lwe_standard_modulus_switch(
+            ct_in, log_modulus, input_torus_bits)
+
+    batch = ct_in.shape[:-1]
+    n_small = ct_in.shape[-1] - 1
+    B = 1
+    for d in batch:
+        B *= d
+    ms_mask = ms_mask.reshape(B, n_small)
+    ms_body = ms_body.reshape(B)
+    lut_b = jnp.broadcast_to(lut, batch + lut.shape[-2:]).reshape(
+        (B,) + lut.shape[-2:])
+    if use_pallas:
+        pad = (-B) % batch_tile
+        if pad:
+            ms_mask = jnp.concatenate([ms_mask, ms_mask[:pad]], 0)
+            ms_body = jnp.concatenate([ms_body, ms_body[:pad]], 0)
+            lut_b = jnp.concatenate([lut_b, lut_b[:pad]], 0)
+        rotated = pk.blind_rotate_pallas(
+            lut_b, ms_mask, ms_body, bsk_scan2, base_log, levels, plan2,
+            batch_tile=batch_tile, bnf2=True)
+        if pad:
+            rotated = rotated[:B]
+    else:
+        rotated = b2.blind_rotate_bnf2(
+            lut_b, ms_mask, ms_body, bsk_scan2, base_log, levels)
+    out = sample_extract(rotated, extract_nth)
+    return out.reshape(batch + (out.shape[-1],))
+
+
 def programmable_bootstrap(
     ct_in: jnp.ndarray,
     lut: jnp.ndarray,

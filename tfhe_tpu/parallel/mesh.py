@@ -75,7 +75,9 @@ def sharded_ks_pbs(server_key, mesh: Mesh):
     import jax
 
     ks_pbs, _, _ = server_key._fns
-    ksk_i8, bsk = replicate_keys(mesh, server_key.ksk_i8, server_key.bsk_scan)
+    # pbs_bsk follows the active transform variant (v6/v5/crt) — it is what
+    # the compiled pipeline expects as its ``bsk`` argument
+    ksk_i8, bsk = replicate_keys(mesh, server_key.ksk_i8, server_key.pbs_bsk)
 
     def run(ct_batch, lut_acc):
         ct_dev = shard_ciphertext_batch(ct_batch, mesh)

@@ -38,23 +38,31 @@ def use_pallas_default() -> bool:
     return jax.default_backend() != "cpu"
 
 
-#: default transform variant for the classic-PBS hot path. "v5" = the
-#: single-prime Goldilocks/BNF kernel (ops/pbs_kernel_g.py, reference
-#: ntt64_bnf_pbs.rs analog); "crt" = the exact 4-prime CRT path (v1-v4
-#: kernels, ops/pbs_kernel.py). Override with TFHE_NTT_VARIANT; ineligible
-#: shapes (multi-bit, N outside [256, 8192], wide decompositions) always
-#: fall back to CRT.
-_DEFAULT_VARIANT = "crt"
+#: default transform variant for the classic-PBS hot path. "v6" = the
+#: 2-prime BNF kernel (ops/bnf2.py + the v4 kernel body, reference
+#: ntt64_bnf_pbs.rs analog over a 30-bit prime pair); "v5" = the
+#: single-prime Goldilocks/BNF kernel (ops/pbs_kernel_g.py); "crt" = the
+#: exact 4-prime CRT path (v1-v4 kernels, ops/pbs_kernel.py). Override
+#: with TFHE_NTT_VARIANT; ineligible shapes (multi-bit, N outside the
+#: kernel envelope, wide decompositions) always fall back to CRT.
+#: v6 measured 1370 PBS/s vs crt/v4's 841 at batch 2048 on the v5e chip
+#: (tools/v6_tpu_check.py), production 2_2 sweep decrypt-checked.
+_DEFAULT_VARIANT = "v6"
 
 
 def resolve_variant(poly_size: int, pbs_base_log: int, pbs_levels: int,
                     grouping: int = 0) -> str:
-    """'v5' or 'crt' for the given PBS shape, honoring TFHE_NTT_VARIANT."""
+    """'v6', 'v5' or 'crt' for the given PBS shape, honoring
+    TFHE_NTT_VARIANT."""
     import os
 
+    from ..ops import bnf2 as b2
     from ..ops import pbs_kernel_g as pkg
 
     v = os.environ.get("TFHE_NTT_VARIANT", _DEFAULT_VARIANT)
+    if (v == "v6" and not grouping
+            and b2.eligible(poly_size, pbs_base_log, pbs_levels)):
+        return "v6"
     if (v == "v5" and not grouping
             and pkg.eligible(poly_size, pbs_base_log, pbs_levels)):
         return "v5"
@@ -85,7 +93,14 @@ def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_leve
     plan = ntt_mod.get_plan(poly_size, num_primes)
     in_bits = 32 if ks32 else 64
 
-    if variant == "v5" and not grouping:
+    if variant == "v6" and not grouping:
+        def _pbs(ct_small, lut_acc, bsk):
+            return server_ops.programmable_bootstrap_bnf2(
+                ct_small, lut_acc, bsk, pbs_base_log, pbs_levels,
+                centered_ms=centered_ms, input_torus_bits=in_bits,
+                use_pallas=use_pallas,
+            )
+    elif variant == "v5" and not grouping:
         def _pbs(ct_small, lut_acc, bsk):
             return server_ops.programmable_bootstrap_goldilocks(
                 ct_small, lut_acc, bsk, pbs_base_log, pbs_levels,
@@ -189,10 +204,28 @@ class ServerKey:
         return cached
 
     @property
+    def bsk_scan_b(self) -> Any:
+        """v6 2-prime BNF BSK u32[n, 2, 2, l*R, R, N], derived lazily and
+        EXACTLY from the stored CRT form (see ``bsk_scan_g``)."""
+        cached = getattr(self, "_bsk_b_cache", None)
+        if cached is None:
+            from ..ops import bnf2 as b2
+
+            res = self.bsk_hat[0].astype("uint64")  # [P, n, l, R, R, N]
+            std = self._plan.reconstruct_u64(self._plan.inv(res))
+            object.__setattr__(self, "_bsk_b_cache",
+                               b2.bootstrap_key_to_bnf2(std))
+            cached = self._bsk_b_cache
+        return cached
+
+    @property
     def pbs_bsk(self) -> Any:
         """The NTT-domain BSK for the active transform variant (what the
         compiled ks_pbs/pbs_only pipelines expect as their ``bsk`` arg)."""
-        return self.bsk_scan_g if self.ntt_variant == "v5" else self.bsk_scan
+        v = self.ntt_variant
+        if v == "v6":
+            return self.bsk_scan_b
+        return self.bsk_scan_g if v == "v5" else self.bsk_scan
 
     # ------------------------------------------------------------------
     @classmethod
