@@ -44,6 +44,7 @@ def kernels_main():
         kb.bench_rotate,
         kb.bench_decompose,
         kb.bench_step,
+        kb.bench_step_v6,
         kb.bench_keyswitch,
         lambda: kb.bench_ntt_jnp(16384, 5),
     ]
@@ -175,10 +176,59 @@ def integer_main():
         }))
 
 
+def multibit_main():
+    """Batched KS + multi-bit-PBS throughput at the reference's GPU multibit
+    parameter classes (the BASELINE 930 us 1xH100 point is KS+MB-PBS g=4).
+
+    Measured to settle VERDICT r2 'Missing #3': whether the multibit path
+    (n/g blind-rotation steps but a 2^g-1-term GGSW combination per step)
+    beats the classic kernel end-to-end on TPU, where the op-count argument
+    (PERF_NOTES.md) predicted roughly parity."""
+    import jax
+
+    from tfhe_tpu.keycache import get_shortint_keys
+    from tfhe_tpu.utils import params_registry
+
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    names = [
+        "PARAM_GPU_MULTI_BIT_GROUP_4_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128",
+        "PARAM_MESSAGE_2_CARRY_2_KS_PBS",  # classic comparator
+    ]
+    for name in names:
+        P = params_registry.get(name)
+        ck, sk = get_shortint_keys(P, seed=42)
+        mm = P.message_modulus
+        msgs = np.arange(batch, dtype=np.uint64) % mm
+        ct = ck.encrypt(msgs)
+        lut = sk.generate_lookup_table(lambda x: (3 * x + 1) % mm)
+        out = sk.apply_lookup_table(ct, lut)  # compile + correctness gate
+        jax.block_until_ready(out.ct)
+        dec = np.asarray(ck.decrypt(out))
+        assert np.array_equal(dec, (3 * msgs + 1) % mm), name
+        iters = 2
+        t0 = time.perf_counter()
+        cur = out
+        for _ in range(iters):
+            cur = sk.apply_lookup_table(cur, lut)
+            jax.block_until_ready(cur.ct)
+        dt = (time.perf_counter() - t0) / iters
+        grouping = getattr(P, "grouping_factor", 0) or 0
+        record = {
+            "metric": "ks_pbs_throughput_multibit" if grouping
+            else "ks_pbs_throughput_classic",
+            "param": name, "grouping": grouping, "batch": batch,
+            "value": round(batch / dt, 2), "unit": "PBS/s",
+        }
+        print(json.dumps(record))
+        _append_history(record)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--kernels":
         kernels_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--integer":
         integer_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--multibit":
+        multibit_main()
     else:
         main()

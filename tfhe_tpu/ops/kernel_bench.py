@@ -259,6 +259,69 @@ def bench_step(params=None, batch: int = 256, lo_steps: int = 8,
     }
 
 
+def bench_step_v6(params=None, batch: int = 1024, batch_tile: int = 16,
+                  unroll: int = 2, lo_steps: int = 8,
+                  hi_steps: int = 300) -> dict:
+    """The SHIPPED v6 (2-prime BNF) fused step at the production
+    configuration (Bt=16, unroll=2, real BNF key with true Shoup duals —
+    synthetic inconsistent duals break the approx-Shoup contract, see
+    PERF_NOTES.md)."""
+    from . import bnf2 as b2
+    from .pbs_kernel import bsk_to_scan_layout  # noqa: F401 (layout doc)
+    from ..utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS
+
+    p = params or PARAM_MESSAGE_2_CARRY_2_KS_PBS
+    n = p.polynomial_size
+    R = p.glwe_dimension + 1
+    levels = p.pbs_level
+    base_log = p.pbs_base_log
+    G = n // 128
+    rng = np.random.default_rng(7)
+
+    step_fn = pk._build_step_fn_v4(n, 2, base_log, levels, R, batch_tile,
+                                   unroll, bnf2=True)
+    tabs4 = pk._get_tables_v4(n, 2, base_log)
+    bsk_std = rng.integers(0, 1 << 64, size=(unroll, levels, R, R, n),
+                           dtype=np.uint64)
+    bsk_scan = b2.bootstrap_key_to_bnf2(bsk_std)  # [U, 2, 2, l*R, R, N]
+    perm = jnp.asarray(tabs4.perm_from_plan)
+    bsk_step = bsk_scan[..., perm].reshape(bsk_scan.shape[:-1] + (G, 128))
+    a = jnp.asarray(rng.integers(0, 2 * n, size=(unroll, 1, batch, 1),
+                                 dtype=np.uint32))
+    hi = jnp.asarray(rng.integers(0, 1 << 32, size=(R, G, batch, 128),
+                                  dtype=np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 32, size=(R, G, batch, 128),
+                                  dtype=np.uint32))
+
+    def make(n_steps):
+        def many(hi, lo):
+            def body(carry, _):
+                h, l = carry
+                h, l = step_fn(a, bsk_step, h, l)
+                return (h, l), None
+
+            (h, l), _ = lax.scan(body, (hi, lo), None, length=n_steps)
+            return h, l
+
+        return jax.jit(many)
+
+    t_lo = _time_fn(make(lo_steps), hi, lo)
+    t_hi = _time_fn(make(hi_steps), hi, lo)
+    sec_per_ct_step = max(t_hi - t_lo, 1e-12) / (
+        (hi_steps - lo_steps) * unroll * batch)
+    pbs_s = 1.0 / (sec_per_ct_step * p.lwe_dimension)
+    # per-element VPU op estimate for the v6 step (2 primes): fwd/inv NTT
+    # stages + tw + MAC + CRT merge + torus switch, from the kernel op mix
+    return {
+        "metric": "fused_step_v6",
+        "value": 1.0 / sec_per_ct_step,
+        "unit": "ct-steps/s",
+        "batch": batch, "batch_tile": batch_tile, "unroll": unroll,
+        "seconds_per_ct_step": sec_per_ct_step,
+        "implied_blind_rotate_pbs_per_s": pbs_s,
+    }
+
+
 def bench_keyswitch(params=None, batch: int = 4096, lo: int = 2,
                     hi: int = 66) -> dict:
     from ..ops.server import keyswitch_mxu, ksk_to_i8_limbs
@@ -336,6 +399,7 @@ def run_all(quick: bool = False) -> list[dict]:
     out.append(bench_rotate())
     out.append(bench_decompose())
     out.append(bench_step())
+    out.append(bench_step_v6())
     out.append(bench_keyswitch())
     if not quick:
         out.append(bench_ntt_jnp(16384, 5))

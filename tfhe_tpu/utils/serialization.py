@@ -214,9 +214,183 @@ def _shortint_sk_from(payload):
     )
 
 
+def serialize_shortint_ciphertext(ct) -> bytes:
+    return serialize(
+        "ShortintCiphertext",
+        {"degree": ct.degree, "noise_level": ct.noise_level,
+         "message_modulus": ct.message_modulus,
+         "carry_modulus": ct.carry_modulus, "under_key": ct.under_key},
+        {"ct": np.asarray(ct.ct)},
+    )
+
+
+def _shortint_ct_from(payload):
+    import jax.numpy as jnp
+
+    from ..shortint.ciphertext import ShortintCiphertext
+
+    m = payload["meta"]
+    return ShortintCiphertext(
+        ct=jnp.asarray(payload["arrays"]["ct"]), degree=m["degree"],
+        noise_level=m["noise_level"], message_modulus=m["message_modulus"],
+        carry_modulus=m["carry_modulus"], under_key=m["under_key"],
+    )
+
+
+def serialize_squashed_ciphertext(ct) -> bytes:
+    return serialize(
+        "SquashedNoiseCiphertext",
+        {"degree": ct.degree, "message_modulus": ct.message_modulus,
+         "carry_modulus": ct.carry_modulus},
+        {"hi": np.asarray(ct.hi), "lo": np.asarray(ct.lo)},
+    )
+
+
+def _squashed_ct_from(payload):
+    import jax.numpy as jnp
+
+    from ..shortint.noise_squashing import SquashedNoiseCiphertext
+
+    m = payload["meta"]
+    a = payload["arrays"]
+    return SquashedNoiseCiphertext(
+        hi=jnp.asarray(a["hi"]), lo=jnp.asarray(a["lo"]), degree=m["degree"],
+        message_modulus=m["message_modulus"], carry_modulus=m["carry_modulus"],
+    )
+
+
+def _dist_to_meta(d) -> list:
+    return [d.kind, d.std_dev, d.bound_log2]
+
+
+def _dist_from_meta(v):
+    from .params import DynamicDistribution
+
+    return DynamicDistribution(kind=v[0], std_dev=v[1], bound_log2=v[2])
+
+
+def _comp_params_meta(p) -> dict:
+    from dataclasses import asdict
+
+    d = asdict(p)
+    d["packing_ks_key_noise_distribution"] = _dist_to_meta(
+        p.packing_ks_key_noise_distribution)
+    return d
+
+
+def _comp_params_from(meta: dict):
+    from ..shortint.list_compression import CompressionParameters
+
+    d = dict(meta)
+    d["packing_ks_key_noise_distribution"] = _dist_from_meta(
+        d["packing_ks_key_noise_distribution"])
+    return CompressionParameters(**d)
+
+
+def serialize_compressed_list(cl) -> bytes:
+    return serialize(
+        "CompressedCiphertextList",
+        {"count": cl.count, "message_modulus": cl.message_modulus,
+         "carry_modulus": cl.carry_modulus,
+         "comp_params": _comp_params_meta(cl.params)},
+        {"storage": np.asarray(cl.storage)},
+    )
+
+
+def _compressed_list_from(payload):
+    from ..shortint.list_compression import CompressedCiphertextList
+
+    m = payload["meta"]
+    return CompressedCiphertextList(
+        storage=payload["arrays"]["storage"], count=m["count"],
+        message_modulus=m["message_modulus"], carry_modulus=m["carry_modulus"],
+        params=_comp_params_from(m["comp_params"]),
+    )
+
+
+def serialize_compact_list(cl) -> bytes:
+    return serialize(
+        "CompactCiphertextList",
+        {"count": cl.count, "degree": cl.degree, "params": cl.params.name},
+        {"masks": np.asarray(cl.masks), "bodies": np.asarray(cl.bodies)},
+    )
+
+
+def _compact_list_from(payload):
+    from ..shortint.compact_public_key import CompactCiphertextList
+
+    m = payload["meta"]
+    a = payload["arrays"]
+    return CompactCiphertextList(
+        masks=a["masks"], bodies=a["bodies"], count=m["count"],
+        params=_params_from_name(m["params"]), degree=m["degree"],
+    )
+
+
+def serialize_zk_crs(crs) -> bytes:
+    """PkeV2Crs: punctured powers-of-alpha lists stored as raw point bytes
+    (112 B per G1, 224 B per G2, zero point = all-zero bytes)."""
+    g = np.frombuffer(
+        b"".join(p.to_bytes() for p in crs.g_list), dtype=np.uint8)
+    gh = np.frombuffer(
+        b"".join(p.to_bytes() for p in crs.g_hat_list), dtype=np.uint8)
+    meta = {k: getattr(crs, k) for k in (
+        "d", "k", "b_inf", "q", "t", "pad_bits", "bound_type", "n", "big_d",
+        "b_bound_squared", "m_bound", "sid")}
+    meta["ds"] = crs.ds.hex()
+    return serialize("PkeV2Crs", meta, {"g_list": g, "g_hat_list": gh})
+
+
+def _zk_crs_from(payload):
+    from ..zk.curve import G1, G2
+    from ..zk.pke_v2 import PkeV2Crs
+
+    m = dict(payload["meta"])
+    ds = bytes.fromhex(m.pop("ds"))
+    a = payload["arrays"]
+    raw_g = a["g_list"].tobytes()
+    raw_gh = a["g_hat_list"].tobytes()
+    g_list = [G1.from_bytes(raw_g[i:i + 112])
+              for i in range(0, len(raw_g), 112)]
+    gh_list = [G2.from_bytes(raw_gh[i:i + 224])
+               for i in range(0, len(raw_gh), 224)]
+    return PkeV2Crs(g_list=g_list, g_hat_list=gh_list, ds=ds, **m)
+
+
+_PROOF_FIELDS = ("C_hat_e", "C_e", "C_r_tilde", "C_R", "C_hat_bin", "C_y",
+                 "C_h1", "C_h2", "C_hat_t", "pi", "pi_kzg", "C_hat_h3",
+                 "C_hat_w")
+_PROOF_G2 = {"C_hat_e", "C_hat_bin", "C_hat_t", "C_hat_h3", "C_hat_w"}
+
+
+def serialize_zk_proof(proof) -> bytes:
+    blobs = {}
+    for f in _PROOF_FIELDS:
+        blobs[f] = np.frombuffer(getattr(proof, f).to_bytes(), dtype=np.uint8)
+    return serialize("PkeV2Proof", {}, blobs)
+
+
+def _zk_proof_from(payload):
+    from ..zk.curve import G1, G2
+    from ..zk.pke_v2 import PkeV2Proof
+
+    a = payload["arrays"]
+    kwargs = {}
+    for f in _PROOF_FIELDS:
+        cls = G2 if f in _PROOF_G2 else G1
+        kwargs[f] = cls.from_bytes(a[f].tobytes())
+    return PkeV2Proof(**kwargs)
+
+
 register_type("RadixCiphertext", 1, _radix_from)
 register_type("ShortintClientKey", 1, _shortint_ck_from)
 register_type("ShortintServerKey", 1, _shortint_sk_from)
+register_type("ShortintCiphertext", 1, _shortint_ct_from)
+register_type("SquashedNoiseCiphertext", 1, _squashed_ct_from)
+register_type("CompressedCiphertextList", 1, _compressed_list_from)
+register_type("CompactCiphertextList", 1, _compact_list_from)
+register_type("PkeV2Crs", 1, _zk_crs_from)
+register_type("PkeV2Proof", 1, _zk_proof_from)
 
 
 def conformance_params(expected_param_name: str) -> Callable[[dict], bool]:

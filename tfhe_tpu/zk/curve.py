@@ -401,6 +401,17 @@ class G1(_GroupElement):
             56, "little"
         )
 
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "G1":
+        assert len(b) == 112
+        if b == b"\x00" * 112:
+            return cls.zero()
+        x = int.from_bytes(b[:56], "little")
+        y = int.from_bytes(b[56:], "little")
+        pt = cls((x, y))
+        assert pt.on_curve(), "G1.from_bytes: point not on curve"
+        return pt
+
 
 class G2(_GroupElement):
     OPS = FQ2_OPS
@@ -421,6 +432,17 @@ class G2(_GroupElement):
             return b"\x00" * 224
         (x0, x1), (y0, y1) = self.pt
         return b"".join(v.to_bytes(56, "little") for v in (x0, x1, y0, y1))
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "G2":
+        assert len(b) == 224
+        if b == b"\x00" * 224:
+            return cls.zero()
+        x0, x1, y0, y1 = (int.from_bytes(b[i * 56:(i + 1) * 56], "little")
+                          for i in range(4))
+        pt = cls(((x0, x1), (y0, y1)))
+        assert pt.on_curve(), "G2.from_bytes: point not on curve"
+        return pt
 
 
 class Fr:
