@@ -112,8 +112,9 @@ def _toy_inputs(batch=4, n_small=8, seed=3, p_n=256):
     return lut, mask, body, bsk2, blog, levels
 
 
-def test_blind_rotate_parity_vs_oracle():
-    """v6 kernel (interpret mode) == jnp oracle, bit-exact, random data."""
+def test_blind_rotate_parity_vs_oracle(monkeypatch):
+    """v6 kernel (interpret mode, exact-acc) == jnp oracle, bit-exact."""
+    monkeypatch.setenv("TFHE_V4_ACC", "64")
     lut, mask, body, bsk2, blog, levels = _toy_inputs()
     want = np.asarray(b2.blind_rotate_bnf2(
         jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
@@ -124,7 +125,8 @@ def test_blind_rotate_parity_vs_oracle():
     np.testing.assert_array_equal(got, want)
 
 
-def test_blind_rotate_parity_unroll1():
+def test_blind_rotate_parity_unroll1(monkeypatch):
+    monkeypatch.setenv("TFHE_V4_ACC", "64")
     lut, mask, body, bsk2, blog, levels = _toy_inputs(batch=2, n_small=5,
                                                       seed=9)
     want = np.asarray(b2.blind_rotate_bnf2(
@@ -134,6 +136,23 @@ def test_blind_rotate_parity_unroll1():
         jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
         blog, levels, b2.get_plan2(256), batch_tile=2, unroll=1, bnf2=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_blind_rotate_parity_acc32(monkeypatch):
+    """v6 kernel under its DEFAULT acc32 accumulator == the jnp oracle's
+    acc_round32 twin, bit-exact (the acc32 contract of pbs_kernel.py's
+    blind_rotate_pallas docstring, now the v6 shipping mode)."""
+    monkeypatch.delenv("TFHE_V4_ACC", raising=False)
+    lut, mask, body, bsk2, blog, levels = _toy_inputs(seed=21)
+    want = np.asarray(b2.blind_rotate_bnf2(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels, acc_round32=True))
+    got = np.asarray(pk.blind_rotate_pallas(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels, b2.get_plan2(256), batch_tile=2, unroll=2, bnf2=True))
+    np.testing.assert_array_equal(got, want)
+    # acc32 outputs are multiples of 2^32 by construction
+    assert (got & np.uint64((1 << 32) - 1)).max() == 0
 
 
 # ---------------------------------------------------------------------------

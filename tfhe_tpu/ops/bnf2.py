@@ -179,6 +179,7 @@ def blind_rotate_bnf2(
     bsk_scan2: jnp.ndarray,
     base_log: int,
     levels: int,
+    acc_round32: bool = False,
 ) -> jnp.ndarray:
     """jnp oracle of the v6 kernel: blind rotation with external products
     computed mod q' (2-prime CRT), accumulator mod 2^64.
@@ -186,6 +187,13 @@ def blind_rotate_bnf2(
     Bit-exact contract with the kernel: mod-p_i NTT math is exact, the
     inverse outputs are canonical residues, and the CRT merge + torus
     switch follow ``crt2_merge``/``qp_to_torus`` exactly.
+
+    ``acc_round32``: mirror of the Pallas kernel's acc32 contract — the
+    accumulator and every CMUX increment are rounded to the nearest
+    multiple of 2^32 (bit-exact twin of ``blind_rotate_pallas(bnf2=True)``
+    under its default TFHE_V4_ACC=32; the rotate/decompose stages commute
+    with the rounding because a multiple-of-2^32 accumulator has an exact
+    zero low limb).
 
     ``lut``: u64[B, R, N]; ``msed_mask``: u64[B, n] in [0, 2N);
     ``msed_body``: u64[B]; ``bsk_scan2``: u32[n, 2, 2, l*R, R, N].
@@ -205,6 +213,10 @@ def blind_rotate_bnf2(
     bres = bres.reshape(nsteps, 2, levels * R, R, N)
 
     acc = monomial_div(lut, msed_body[..., None])
+    half = jnp.uint64(1) << jnp.uint64(31)
+    r32 = lambda x: ((x + half) >> jnp.uint64(32)) << jnp.uint64(32)
+    if acc_round32:
+        acc = r32(acc)
     p_arr = [jnp.uint64(P0), jnp.uint64(P1)]
 
     def body_fn(i, acc):
@@ -233,6 +245,8 @@ def blind_rotate_bnf2(
             x = crt2_merge(r[0], r[1])
             res_c.append(qp_to_torus(x))
         inc = jnp.stack(res_c, axis=-2)  # [B, R, N]
+        if acc_round32:
+            inc = r32(inc)
         return acc + inc
 
     return lax.fori_loop(0, nsteps, body_fn, acc)

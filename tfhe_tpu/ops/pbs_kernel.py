@@ -1375,7 +1375,6 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
         from . import bnf2 as bnf2_mod
 
         assert P == 2 and primes == (bnf2_mod.P0, bnf2_mod.P1)
-        assert not acc32, "bnf2 + acc32 not supported"
 
     # timing-only ablation switches (tools/v4_ablate.py): each named piece
     # is replaced by a shape/dtype-preserving stub so t_full - t_ablated
@@ -1779,8 +1778,12 @@ def blind_rotate_pallas(
     # of std 2^32/sqrt(12) (~2^35.5 total over n steps, vs >= 2^48 PBS
     # noise at production parameters). Mirrored exactly by the jnp
     # oracle's acc_round32 flag.
-    acc_mode = os.environ.get("TFHE_V4_ACC", "64")
-    use_acc32 = use_v4 and acc_mode == "32" and not bnf2
+    # v6 defaults to acc32: its per-step 2^32/sqrt(12) rounding noise
+    # (~2^35.5 std over 866 steps) is far below the BNF path's own switch
+    # noise budget (ops/bnf2.py docstring) and the single-plane accumulator
+    # halves the rotation + accumulate cost (measured on chip, PERF_NOTES).
+    acc_mode = os.environ.get("TFHE_V4_ACC", "32" if bnf2 else "64")
+    use_acc32 = use_v4 and acc_mode == "32"
 
     if use_v4:
         G = n // 128

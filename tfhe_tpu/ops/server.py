@@ -23,6 +23,7 @@ Python control flow). The mathematical contracts mirror the reference:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -291,6 +292,114 @@ def lwe_standard_modulus_switch(
         modulus_switch(ct[..., :n], log_modulus, torus_bits),
         modulus_switch(ct[..., n], log_modulus, torus_bits),
     )
+
+
+def _ms_round_error_f64(x: jnp.ndarray, log_modulus: int,
+                        torus_bits: int = 64) -> jnp.ndarray:
+    """Signed rounding error rounded(x) - x of the modulus switch, as f64
+    (modulus_switch_noise_reduction.rs:14-36 round_error_float). |err| <=
+    2^(torus_bits - log_modulus - 1) < 2^53 for every supported shape, so
+    the f64 value is exact."""
+    shift = jnp.uint64(torus_bits - log_modulus)
+    rounded = modulus_switch(x, log_modulus, torus_bits) << shift
+    if torus_bits < 64:
+        masked = x.astype(_U64) & jnp.uint64((1 << torus_bits) - 1)
+        err = rounded.astype(jnp.int64) - masked.astype(jnp.int64)
+        tb = jnp.int64(1 << (torus_bits - 1))
+        err = ((err + tb) & jnp.int64((1 << torus_bits) - 1)) - tb
+    else:
+        err = (rounded - x.astype(_U64)).astype(jnp.int64)
+    return err.astype(jnp.float64)
+
+
+def choose_drift_candidate(
+    ct: jnp.ndarray,
+    zeros: jnp.ndarray,
+    r_sigma_factor: float,
+    bound: float,
+    input_variance: float,
+    log_modulus: int,
+    torus_bits: int = 64,
+    chunk: int = 64,
+) -> jnp.ndarray:
+    """Drift-technique candidate selection (eprint 2024/1718; reference
+    ``modulus_switch_noise_reduction.rs:99``
+    choose_candidate_to_improve_modulus_switch_noise_for_binary_key).
+
+    For each batched LWE, considers candidates {no addition} union {ct +
+    zeros[z]} and computes the noise-estimation measure
+    ``|expectancy| + sqrt(variance + modular_input_variance) * r_sigma``
+    with expectancy = body_err - sum(mask_err)/2 and variance =
+    sum(mask_err^2)/4 over the modulus-switch rounding errors. Returns the
+    candidate index per batch element (0 = no addition, z+1 = zeros[z]):
+    the FIRST candidate whose measure satisfies ``bound`` in reference
+    evaluation order, else the overall argmin (first occurrence — the
+    reference's strict-improvement scan).
+
+    ``ct``: u64[..., n+1]; ``zeros``: u64[Z, n+1]. ``input_variance`` is
+    torus-relative (reference Variance); the modular variance is
+    input_variance * 2^(2*torus_bits). Candidates are evaluated in chunks
+    of ``chunk`` to bound transient memory (Z+1 error planes of the whole
+    batch would not fit HBM at production zero counts)."""
+    n = ct.shape[-1] - 1
+    Z = zeros.shape[0]
+    batch_shape = ct.shape[:-1]
+    # candidate deltas: index 0 = no addition
+    zeros_ext = jnp.concatenate(
+        [jnp.zeros((1, n + 1), dtype=_U64), zeros.astype(_U64)], axis=0)
+    mod_var = float(input_variance) * float(2.0 ** (2 * torus_bits))
+    r_sigma = float(r_sigma_factor)
+
+    pad = (-(Z + 1)) % chunk
+    if pad:
+        # padded candidates duplicate candidate 0 and are masked out below
+        zeros_ext = jnp.concatenate(
+            [zeros_ext, jnp.zeros((pad,) + zeros_ext.shape[1:], _U64)], 0)
+    n_chunks = zeros_ext.shape[0] // chunk
+    zc = zeros_ext.reshape(n_chunks, chunk, n + 1)
+
+    def measure_chunk(zk):
+        # [chunk, ..., n+1] wrapping candidate sums
+        cand = ct[None] + zk.reshape((chunk,) + (1,) * len(batch_shape)
+                                     + (n + 1,))
+        err = _ms_round_error_f64(cand, log_modulus, torus_bits)
+        mask_err = err[..., :n]
+        body_err = err[..., n]
+        expectancy = body_err - jnp.sum(mask_err, axis=-1) / 2.0
+        variance = jnp.sum(mask_err * mask_err, axis=-1) / 4.0
+        return jnp.abs(expectancy) + jnp.sqrt(variance + mod_var) * r_sigma
+
+    measures = lax.map(measure_chunk, zc)  # [n_chunks, chunk, ...]
+    measures = measures.reshape((n_chunks * chunk,) + batch_shape)
+    if pad:
+        measures = measures[: Z + 1]
+    sat = measures <= jnp.float64(bound)
+    first_sat = jnp.argmax(sat, axis=0)  # first True (0 if none)
+    any_sat = jnp.any(sat, axis=0)
+    best = jnp.argmin(measures, axis=0)  # first occurrence of the min
+    return jnp.where(any_sat, first_sat, best)
+
+
+def improve_drift_ms(
+    ct: jnp.ndarray,
+    zeros: jnp.ndarray,
+    r_sigma_factor: float,
+    bound: float,
+    input_variance: float,
+    log_modulus: int,
+    torus_bits: int = 64,
+) -> jnp.ndarray:
+    """Add the chosen encryption of zero to each batched LWE (identity when
+    the no-addition candidate wins). The subsequent modulus switch must be
+    the STANDARD rounding switch (reference improve_noise_and_modulus_switch
+    -> lwe_ciphertext_modulus_switch)."""
+    idx = choose_drift_candidate(
+        ct, zeros, r_sigma_factor, bound, input_variance, log_modulus,
+        torus_bits)
+    n = ct.shape[-1] - 1
+    zeros_ext = jnp.concatenate(
+        [jnp.zeros((1, n + 1), dtype=_U64), zeros.astype(_U64)], axis=0)
+    return ct + zeros_ext[idx]
 
 
 # ---------------------------------------------------------------------------
@@ -597,8 +706,12 @@ def programmable_bootstrap_bnf2(
         if pad:
             rotated = rotated[:B]
     else:
+        # bit-exact twin of the Pallas path: resolve the accumulator mode
+        # from the same env knob (the v6 kernel defaults to acc32)
+        acc32 = os.environ.get("TFHE_V4_ACC", "32") == "32"
         rotated = b2.blind_rotate_bnf2(
-            lut_b, ms_mask, ms_body, bsk_scan2, base_log, levels)
+            lut_b, ms_mask, ms_body, bsk_scan2, base_log, levels,
+            acc_round32=acc32)
     out = sample_extract(rotated, extract_nth)
     return out.reshape(batch + (out.shape[-1],))
 
