@@ -71,7 +71,7 @@ def resolve_variant(poly_size: int, pbs_base_log: int, pbs_levels: int,
 
 def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
                    poly_size, num_primes, centered_ms, use_pallas, grouping=0,
-                   ks32=False, order="ks_pbs", variant="crt"):
+                   ks32=False, order="ks_pbs", variant="crt", drift=None):
     """One compiled atomic-pattern pipeline per parameter signature.
 
     ``order``: 'ks_pbs' (standard KS->PBS), 'pbs_ks' (small-key ciphertexts,
@@ -87,7 +87,7 @@ def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_leve
 
     sig = (key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_levels,
            poly_size, num_primes, centered_ms, use_pallas, grouping, ks32,
-           order, variant)
+           order, variant, drift)
     if sig in _jitted_ks_pbs_cache:
         return _jitted_ks_pbs_cache[sig]
     plan = ntt_mod.get_plan(poly_size, num_primes)
@@ -129,6 +129,23 @@ def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_leve
                 input_torus_bits=in_bits,
             )
 
+    if drift is not None:
+        # drift-technique MS noise reduction (ModulusSwitchType::
+        # DriftTechniqueNoiseReduction): add the chosen encryption of zero
+        # BEFORE the PBS's (standard) modulus switch. ``bsk`` arrives as a
+        # (bsk, modulus_switch_zeros) tuple — the zeros are key material
+        # (reference shortint/server_key/modulus_switch_noise_reduction.rs).
+        r_sigma, ms_bound, ms_input_var = drift
+        log_mod = poly_size.bit_length()
+        _pbs_core = _pbs
+
+        def _pbs(ct_small, lut_acc, bsk):
+            bsk_arr, ms_zeros = bsk
+            improved = server_ops.improve_drift_ms(
+                ct_small, ms_zeros, r_sigma, ms_bound, ms_input_var,
+                log_mod, torus_bits=in_bits)
+            return _pbs_core(improved, lut_acc, bsk_arr)
+
     def _ks(ct, ksk_i8):
         if ks32:
             return server_ops.keyswitch_mxu32(ct, ksk_i8, ks_base_log, ks_levels)
@@ -166,6 +183,11 @@ class ServerKey:
     bsk_scan: Any  # jnp u32[n_small, 2, P, l_pbs*(k+1), k+1, N] — kernel form
     num_primes: int
     max_degree: int = 0
+    #: drift-technique MS noise reduction: encryptions of zero under the
+    #: small LWE key, u64[zeros_count, n+1] (None unless the parameter set
+    #: selects ModulusSwitchType.DRIFT_TECHNIQUE_NOISE_REDUCTION; reference
+    #: shortint/server_key/modulus_switch_noise_reduction.rs ::new)
+    ms_zeros: Any = None
 
     @property
     def bsk_hat(self) -> Any:
@@ -179,7 +201,10 @@ class ServerKey:
     # ------------------------------------------------------------------
     @property
     def ntt_variant(self) -> str:
-        """'v5' (Goldilocks single-prime BNF kernel) or 'crt'."""
+        """'v6' (2-prime BNF kernel, the shipped default for eligible
+        shapes), 'v5' (Goldilocks single-prime BNF) or 'crt' (exact 4-prime
+        Garner fallback) — resolved per TFHE_NTT_VARIANT + shape
+        eligibility (see ``resolve_variant``)."""
         p = self.params
         return resolve_variant(
             p.polynomial_size, p.pbs_base_log, p.pbs_level,
@@ -219,13 +244,30 @@ class ServerKey:
         return cached
 
     @property
+    def _drift(self):
+        """(r_sigma, bound, input_variance) when the parameter set selects
+        drift-technique MS noise reduction, else None."""
+        p = self.params
+        d = getattr(p, "modulus_switch_noise_reduction_params", None)
+        if (p.modulus_switch_type
+                == ModulusSwitchType.DRIFT_TECHNIQUE_NOISE_REDUCTION
+                and d is not None and self.ms_zeros is not None):
+            return (d.ms_r_sigma_factor, d.ms_bound, d.ms_input_variance)
+        return None
+
+    @property
     def pbs_bsk(self) -> Any:
         """The NTT-domain BSK for the active transform variant (what the
-        compiled ks_pbs/pbs_only pipelines expect as their ``bsk`` arg)."""
+        compiled ks_pbs/pbs_only pipelines expect as their ``bsk`` arg).
+        Drift-MS parameter sets get a (bsk, modulus_switch_zeros) tuple."""
         v = self.ntt_variant
         if v == "v6":
-            return self.bsk_scan_b
-        return self.bsk_scan_g if v == "v5" else self.bsk_scan
+            base = self.bsk_scan_b
+        else:
+            base = self.bsk_scan_g if v == "v5" else self.bsk_scan
+        if self._drift is not None:
+            return (base, self.ms_zeros)
+        return base
 
     # ------------------------------------------------------------------
     @classmethod
@@ -281,6 +323,19 @@ class ServerKey:
                 p.lwe_noise_distribution,
                 gen,
             )
+        ms_zeros = None
+        drift_p = getattr(p, "modulus_switch_noise_reduction_params", None)
+        if (p.modulus_switch_type
+                == ModulusSwitchType.DRIFT_TECHNIQUE_NOISE_REDUCTION
+                and drift_p is not None):
+            # encryptions of zero under the SMALL lwe key (the PBS input
+            # key), lwe noise — modulus_switch_noise_reduction.rs ::new
+            zero_pts = np.zeros(drift_p.modulus_switch_zeros_count,
+                                dtype=np.uint64)
+            enc = algo.lwe_encrypt32 if cls._is_ks32(p) else algo.lwe_encrypt
+            ms_zeros = jnp.asarray(
+                enc(client_key.lwe_sk, zero_pts, p.lwe_noise_distribution,
+                    gen))
         num_primes = cls._num_primes_for(p)
         bsk_hat = algo.bootstrap_key_to_ntt(bsk, num_primes)
         max_degree = p.message_modulus * p.carry_modulus - 1
@@ -302,6 +357,7 @@ class ServerKey:
             bsk_scan=bsk_stored,
             num_primes=num_primes,
             max_degree=max_degree,
+            ms_zeros=ms_zeros,
         )
 
     @staticmethod
@@ -353,6 +409,7 @@ class ServerKey:
             ks32=self._is_ks32(p),
             order=self._ap_order,
             variant=self.ntt_variant,
+            drift=self._drift,
         )
 
     @property
