@@ -103,3 +103,57 @@ def test_backward_compat_corpus():
     # and still decrypt a fresh encryption end-to-end
     msgs = np.asarray(manifest["msgs"], dtype=np.uint64)
     assert list(np.asarray(want.decrypt(ck.encrypt(msgs)))) == list(msgs)
+
+
+def test_backward_compat_corpus_v2_all_artifacts():
+    """Every artifact in the 10-type frozen corpus (compat_manifest_v2,
+    tools/freeze_compat_corpus.py) deserializes through the registered
+    upgrade chains; hashes must match the manifest (frozen = immutable)."""
+    import hashlib
+    import json
+
+    import numpy as np
+
+    import tfhe_tpu.shortint.compressed_server_key  # registers its type
+    from tfhe_tpu.shortint.client_key import ClientKey
+    from tfhe_tpu.utils.params import PARAM_TEST_TOY
+    from tfhe_tpu.utils.serialization import deserialize
+
+    expected_types = {
+        "shortint_ck": "ShortintClientKey",
+        "shortint_sk": "ShortintServerKey",
+        "shortint_ct": "ShortintCiphertext",
+        "radix_ct": "RadixCiphertext",
+        "squashed_ct": "SquashedNoiseCiphertext",
+        "compressed_list": "CompressedCiphertextList",
+        "compact_list": "CompactCiphertextList",
+        "zk_crs": "PkeV2Crs",
+        "zk_proof": "PkeV2Proof",
+        "compressed_server_key": "CompressedServerKey",
+    }
+    manifest = json.load(open("/root/repo/tests/data/compat_manifest_v2.json"))
+    arts = manifest["artifacts"]
+    assert set(arts) == set(expected_types), sorted(arts)
+    objs = {}
+    for name, info in arts.items():
+        blob = open(f"/root/repo/tests/data/{info['file']}", "rb").read()
+        assert hashlib.sha256(blob).hexdigest() == info["sha256"], name
+        assert len(blob) == info["nbytes"], name
+        objs[name] = deserialize(blob, expected_type=expected_types[name])
+
+    # semantic spot checks beyond "it parsed"
+    ck = objs["shortint_ck"]
+    want = ClientKey.generate(PARAM_TEST_TOY, seed=manifest["seed"])
+    assert np.array_equal(np.asarray(ck.lwe_sk.bits),
+                          np.asarray(want.lwe_sk.bits))
+    assert int(np.asarray(want.decrypt(objs["shortint_ct"]))[0]) == 3
+    sk = objs["shortint_sk"]
+    lut = sk.generate_lookup_table(lambda x: (x + 1) % 4)
+    out = sk.apply_lookup_table(objs["shortint_ct"], lut)
+    assert int(np.asarray(want.decrypt(out))[0]) == 0
+    # the frozen CompactCiphertextList carries FULL cpk params (v2 format):
+    # they reconstruct even though TOY_PKE_ZK is not in the registry
+    cl = objs["compact_list"]
+    assert cl.params.name == "TOY_PKE_ZK" and cl.count == 4
+    # frozen v2 CRS/proof points pass on-curve + subgroup deserialization
+    assert len(objs["zk_crs"].g_list) >= 1

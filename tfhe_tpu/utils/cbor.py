@@ -48,16 +48,39 @@ def encode_text(out: io.BytesIO, s: str) -> None:
 
 
 def encode_uint_array(out: io.BytesIO, vals) -> None:
-    """Definite-length array of unsigned ints (vectorized fast path)."""
+    """Definite-length array of unsigned ints.
+
+    Vectorized: elements are bucketed by CBOR argument size class (<24,
+    u8, u16, u32, u64) and the whole byte stream is assembled with numpy
+    scatter writes — no per-element Python loop (the valid_params_128 BSK
+    is ~8M u64; element-wise encoding dominated generation time)."""
     a = np.asarray(vals, dtype=np.uint64).reshape(-1)
     _write_head(out, 4, a.size)
-    # encode in runs by size class (order preserved via per-element bytes)
-    parts = []
-    for v in a.tolist():
-        sub = io.BytesIO()
-        _write_head(sub, 0, v)
-        parts.append(sub.getvalue())
-    out.write(b"".join(parts))
+    if a.size == 0:
+        return
+    lens = np.full(a.size, 9, dtype=np.int64)
+    lens[a < (1 << 32)] = 5
+    lens[a < (1 << 16)] = 3
+    lens[a < 256] = 2
+    lens[a < 24] = 1
+    starts = np.zeros(a.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    buf = np.zeros(int(lens.sum()), dtype=np.uint8)
+    be = a.astype(">u8").view(np.uint8).reshape(-1, 8)  # big-endian planes
+    for ln, head, nb in ((1, None, 0), (2, 0x18, 1), (3, 0x19, 2),
+                         (5, 0x1A, 4), (9, 0x1B, 8)):
+        m = lens == ln
+        if not m.any():
+            continue
+        s = starts[m]
+        if head is None:
+            buf[s] = a[m].astype(np.uint8)  # mt 0 | v, v < 24
+        else:
+            buf[s] = head
+            bem = be[m][:, 8 - nb:]
+            for j in range(nb):
+                buf[s + 1 + j] = bem[:, j]
+    out.write(buf.tobytes())
 
 
 def encode_map(out: io.BytesIO, items) -> None:

@@ -280,10 +280,14 @@ def _comp_params_meta(p) -> dict:
 
 def _comp_params_from(meta: dict):
     from ..shortint.list_compression import CompressionParameters
+    from .params import CiphertextModulus
 
     d = dict(meta)
     d["packing_ks_key_noise_distribution"] = _dist_from_meta(
         d["packing_ks_key_noise_distribution"])
+    # asdict() flattens the nested CiphertextModulus dataclass to a dict
+    if isinstance(d.get("ciphertext_modulus"), dict):
+        d["ciphertext_modulus"] = CiphertextModulus(**d["ciphertext_modulus"])
     return CompressionParameters(**d)
 
 
@@ -308,12 +312,58 @@ def _compressed_list_from(payload):
     )
 
 
+def _cpk_params_meta(p) -> dict:
+    """Full CompactPublicKeyEncryptionParameters fields (self-contained —
+    a list built with unregistered custom parameters must still round-trip;
+    cf. _comp_params_meta for CompressionParameters)."""
+    return {
+        "name": p.name,
+        "encryption_lwe_dimension": p.encryption_lwe_dimension,
+        "encryption_noise_distribution": _dist_to_meta(
+            p.encryption_noise_distribution),
+        "message_modulus": p.message_modulus,
+        "carry_modulus": p.carry_modulus,
+        "expansion_kind": p.expansion_kind,
+        "zk_scheme": p.zk_scheme,
+        "ciphertext_modulus": [p.ciphertext_modulus.value,
+                               p.ciphertext_modulus.bits],
+    }
+
+
+def _cpk_params_from(meta: dict):
+    from .params import (CiphertextModulus,
+                         CompactPublicKeyEncryptionParameters)
+
+    d = dict(meta)
+    d["encryption_noise_distribution"] = _dist_from_meta(
+        d["encryption_noise_distribution"])
+    d["ciphertext_modulus"] = CiphertextModulus(*d["ciphertext_modulus"])
+    return CompactPublicKeyEncryptionParameters(**d)
+
+
 def serialize_compact_list(cl) -> bytes:
     return serialize(
         "CompactCiphertextList",
-        {"count": cl.count, "degree": cl.degree, "params": cl.params.name},
+        {"count": cl.count, "degree": cl.degree,
+         "cpk_params": _cpk_params_meta(cl.params)},
         {"masks": np.asarray(cl.masks), "bodies": np.asarray(cl.bodies)},
     )
+
+
+def _compact_list_upgrade_v1(payload):
+    """v1 stored only the parameter-set NAME; resolve via the registry
+    (raising SerializationError — not KeyError — for unregistered names)."""
+    m = dict(payload["meta"])
+    name = m.pop("params")
+    try:
+        p = _params_from_name(name)
+    except KeyError:
+        raise SerializationError(
+            f"CompactCiphertextList v1 references unregistered parameter "
+            f"set {name!r}; re-serialize with a current version (v2 stores "
+            f"the full parameter struct)") from None
+    m["cpk_params"] = _cpk_params_meta(p)
+    return {"meta": m, "arrays": payload["arrays"]}
 
 
 def _compact_list_from(payload):
@@ -323,7 +373,7 @@ def _compact_list_from(payload):
     a = payload["arrays"]
     return CompactCiphertextList(
         masks=a["masks"], bodies=a["bodies"], count=m["count"],
-        params=_params_from_name(m["params"]), degree=m["degree"],
+        params=_cpk_params_from(m["cpk_params"]), degree=m["degree"],
     )
 
 
@@ -342,7 +392,7 @@ def serialize_zk_crs(crs) -> bytes:
 
 
 def _zk_crs_from(payload):
-    from ..zk.curve import G1, G2
+    from ..zk.curve import G1, G2, InvalidPointError
     from ..zk.pke_v2 import PkeV2Crs
 
     m = dict(payload["meta"])
@@ -350,10 +400,13 @@ def _zk_crs_from(payload):
     a = payload["arrays"]
     raw_g = a["g_list"].tobytes()
     raw_gh = a["g_hat_list"].tobytes()
-    g_list = [G1.from_bytes(raw_g[i:i + 112])
-              for i in range(0, len(raw_g), 112)]
-    gh_list = [G2.from_bytes(raw_gh[i:i + 224])
-               for i in range(0, len(raw_gh), 224)]
+    try:
+        g_list = [G1.from_bytes(raw_g[i:i + 112])
+                  for i in range(0, len(raw_g), 112)]
+        gh_list = [G2.from_bytes(raw_gh[i:i + 224])
+                   for i in range(0, len(raw_gh), 224)]
+    except InvalidPointError as e:
+        raise SerializationError(f"PkeV2Crs: {e}") from e
     return PkeV2Crs(g_list=g_list, g_hat_list=gh_list, ds=ds, **m)
 
 
@@ -371,14 +424,17 @@ def serialize_zk_proof(proof) -> bytes:
 
 
 def _zk_proof_from(payload):
-    from ..zk.curve import G1, G2
+    from ..zk.curve import G1, G2, InvalidPointError
     from ..zk.pke_v2 import PkeV2Proof
 
     a = payload["arrays"]
     kwargs = {}
     for f in _PROOF_FIELDS:
         cls = G2 if f in _PROOF_G2 else G1
-        kwargs[f] = cls.from_bytes(a[f].tobytes())
+        try:
+            kwargs[f] = cls.from_bytes(a[f].tobytes())
+        except InvalidPointError as e:
+            raise SerializationError(f"PkeV2Proof.{f}: {e}") from e
     return PkeV2Proof(**kwargs)
 
 
@@ -388,7 +444,8 @@ register_type("ShortintServerKey", 1, _shortint_sk_from)
 register_type("ShortintCiphertext", 1, _shortint_ct_from)
 register_type("SquashedNoiseCiphertext", 1, _squashed_ct_from)
 register_type("CompressedCiphertextList", 1, _compressed_list_from)
-register_type("CompactCiphertextList", 1, _compact_list_from)
+register_type("CompactCiphertextList", 2, _compact_list_from,
+              upgrades={1: _compact_list_upgrade_v1})
 register_type("PkeV2Crs", 1, _zk_crs_from)
 register_type("PkeV2Proof", 1, _zk_proof_from)
 

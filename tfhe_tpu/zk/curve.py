@@ -339,6 +339,13 @@ def _scalar_embed(s: int, ops):
 # public group wrappers
 # ---------------------------------------------------------------------------
 
+class InvalidPointError(ValueError):
+    """Raised by ``G1/G2.from_bytes`` on malformed or insecure (off-curve /
+    out-of-subgroup) serialized points. A ``ValueError`` so that callers
+    without serialization context can still catch it generically; the
+    serialization layer re-wraps it as ``SerializationError``."""
+
+
 class _GroupElement:
     __slots__ = ("pt",)
     OPS: _FieldOps = None
@@ -402,14 +409,30 @@ class G1(_GroupElement):
         )
 
     @classmethod
-    def from_bytes(cls, b: bytes) -> "G1":
-        assert len(b) == 112
+    def from_bytes(cls, b: bytes, check_subgroup: bool = True) -> "G1":
+        """Deserialize an (untrusted) G1 point.
+
+        Raises :class:`InvalidPointError` (a ``ValueError``) on bad length,
+        non-canonical coordinates, off-curve points, or (by default)
+        points outside the prime-order subgroup — BLS12-446 G1 has a
+        nontrivial cofactor, so an on-curve check alone admits
+        small-subgroup points into pairing-based verification (the
+        reference validates subgroup membership on deserialization).
+        ``check_subgroup=False`` is for trusted in-process round trips
+        only (the R-scalar multiplication is expensive in pure Python)."""
+        if len(b) != 112:
+            raise InvalidPointError(f"G1: expected 112 bytes, got {len(b)}")
         if b == b"\x00" * 112:
             return cls.zero()
         x = int.from_bytes(b[:56], "little")
         y = int.from_bytes(b[56:], "little")
+        if x >= P or y >= P:
+            raise InvalidPointError("G1: non-canonical coordinate")
         pt = cls((x, y))
-        assert pt.on_curve(), "G1.from_bytes: point not on curve"
+        if not pt.on_curve():
+            raise InvalidPointError("G1: point not on curve")
+        if check_subgroup and not pt.in_subgroup():
+            raise InvalidPointError("G1: point not in prime-order subgroup")
         return pt
 
 
@@ -434,14 +457,22 @@ class G2(_GroupElement):
         return b"".join(v.to_bytes(56, "little") for v in (x0, x1, y0, y1))
 
     @classmethod
-    def from_bytes(cls, b: bytes) -> "G2":
-        assert len(b) == 224
+    def from_bytes(cls, b: bytes, check_subgroup: bool = True) -> "G2":
+        """Deserialize an (untrusted) G2 point — see :meth:`G1.from_bytes`
+        for the validation contract (G2's cofactor is even larger)."""
+        if len(b) != 224:
+            raise InvalidPointError(f"G2: expected 224 bytes, got {len(b)}")
         if b == b"\x00" * 224:
             return cls.zero()
         x0, x1, y0, y1 = (int.from_bytes(b[i * 56:(i + 1) * 56], "little")
                           for i in range(4))
+        if max(x0, x1, y0, y1) >= P:
+            raise InvalidPointError("G2: non-canonical coordinate")
         pt = cls(((x0, x1), (y0, y1)))
-        assert pt.on_curve(), "G2.from_bytes: point not on curve"
+        if not pt.on_curve():
+            raise InvalidPointError("G2: point not on curve")
+        if check_subgroup and not pt.in_subgroup():
+            raise InvalidPointError("G2: point not in prime-order subgroup")
         return pt
 
 

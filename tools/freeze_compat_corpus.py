@@ -14,6 +14,11 @@ import json
 import os
 import sys
 
+# artifacts are platform-independent data; pin to CPU so the freezer never
+# routes toy keygen through the TPU tunnel
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -38,7 +43,8 @@ def build_artifacts() -> dict:
     from tfhe_tpu.utils.params import (
         CompactPublicKeyEncryptionParameters, DynamicDistribution,
         PARAM_TEST_TOY, PARAM_TEST_TOY_SQUASH)
-    from tfhe_tpu.zk.proven_list import ProvenCompactCiphertextList, crs_for_params
+    from tfhe_tpu.zk.proven_list import (ProvenCompactCiphertextList,
+                                         crs_for_params_v2)
     from tfhe_tpu.utils.csprng import EncryptionRandomGenerator
 
     out = {}
@@ -59,7 +65,7 @@ def build_artifacts() -> dict:
 
     cpriv = lc.new_compression_private_key(ck, lc.COMP_PARAM_TEST_TOY)
     comp_key, _dec = lc.new_compression_decompression_keys(ck, cpriv)
-    cts = [ck.encrypt(i % 4) for i in range(3)]
+    cts = ck.encrypt(np.array([0, 1, 2], dtype=np.uint64))
     out["compressed_list"] = ser.serialize_compressed_list(
         lc.compress(comp_key, cts))
 
@@ -73,7 +79,9 @@ def build_artifacts() -> dict:
     out["compact_list"] = ser.serialize_compact_list(
         pk.encrypt(np.array([1, 2, 3, 0], dtype=np.uint64), rng=enc_gen))
 
-    zk_crs = crs_for_params(P, max_bin_messages=4, seed=1)
+    # V2 scheme: serialize_zk_crs/serialize_zk_proof freeze the PkeV2
+    # types (the reference's default ZK scheme since v0.11)
+    zk_crs = crs_for_params_v2(P, max_bin_messages=4, seed=1)
     out["zk_crs"] = ser.serialize_zk_crs(zk_crs)
     lst = ProvenCompactCiphertextList.encrypt_and_prove(
         pk, [1, 2, 3, 0], zk_crs, metadata=b"md")
