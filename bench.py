@@ -82,16 +82,21 @@ def main():
     expect = (3 * msgs + 1) % mm
     assert np.array_equal(dec, expect), "PBS correctness check failed"
 
-    # steady-state timing: LUT chosen so outputs stay in range for re-use
-    iters = 3
-    t0 = time.perf_counter()
+    # steady-state timing: LUT chosen so outputs stay in range for re-use.
+    # Median of 5 single-iteration repeats: the axon tunnel adds run-to-run
+    # jitter well beyond the usual +-2% (a 7% drop between two one-shot
+    # runs was observed in round 3 on identical code), so one-shot numbers
+    # are not reproducible; the spread is reported alongside.
+    repeats = 5
+    times = []
     cur = out
-    for _ in range(iters):
+    for _ in range(repeats):
+        t0 = time.perf_counter()
         cur = sk.apply_lookup_table(cur, lut)
         jax.block_until_ready(cur.ct)
-    t1 = time.perf_counter()
+        times.append(time.perf_counter() - t0)
 
-    per_iter = (t1 - t0) / iters
+    per_iter = sorted(times)[repeats // 2]
     pbs_per_s = batch / per_iter
     record = {
         "metric": "ks_pbs_throughput_2_2",
@@ -100,7 +105,9 @@ def main():
         "vs_baseline": round(pbs_per_s / BASELINE_PBS_PER_S, 4),
     }
     print(json.dumps(record))
-    _append_history(dict(record, batch=batch))
+    _append_history(dict(
+        record, batch=batch, repeats=repeats,
+        spread_pbs_s=[round(batch / t, 2) for t in sorted(times)]))
 
 
 def _append_history(record: dict) -> None:
@@ -189,13 +196,18 @@ def multibit_main():
     from tfhe_tpu.keycache import get_shortint_keys
     from tfhe_tpu.utils import params_registry
 
+    from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS
+
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    names = [
-        "PARAM_GPU_MULTI_BIT_GROUP_4_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128",
-        "PARAM_MESSAGE_2_CARRY_2_KS_PBS",  # classic comparator
+    param_sets = [
+        params_registry.get(
+            "PARAM_GPU_MULTI_BIT_GROUP_4_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128"),
+        params_registry.get(
+            "V1_5_PARAM_GPU_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128"),
+        PARAM_MESSAGE_2_CARRY_2_KS_PBS,  # classic comparator (headline set)
     ]
-    for name in names:
-        P = params_registry.get(name)
+    for P in param_sets:
+        name = P.name
         ck, sk = get_shortint_keys(P, seed=42)
         mm = P.message_modulus
         msgs = np.arange(batch, dtype=np.uint64) % mm

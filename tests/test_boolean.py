@@ -53,3 +53,19 @@ def test_not_and_mux(keys):
     m = sk.mux(c, l, r)
     exp = [la if cc else rb for cc, (la, rb) in zip([True, False, True, False], CASES)]
     assert list(ck.decrypt(m)) == exp
+
+
+def test_tfhe_lib_parameters_gates():
+    """The legacy TFHE-lib parameter set (boolean/parameters/mod.rs:131
+    TFHE_LIB_PARAMETERS) generates keys and evaluates gates correctly —
+    the last member of the reference's VEC_BOOLEAN_PARAM family."""
+    from tfhe_tpu.utils.params import BOOLEAN_TFHE_LIB_PARAMETERS as P
+
+    assert (P.lwe_dimension, P.glwe_dimension, P.polynomial_size) == (
+        630, 1, 1024)
+    ck = ClientKey.generate(P, seed=11)
+    sk = ServerKey.generate(ck)
+    l = ck.encrypt(np.array([a for a, _ in CASES]))
+    r = ck.encrypt(np.array([b for _, b in CASES]))
+    assert list(ck.decrypt(sk.and_(l, r))) == [a and b for a, b in CASES]
+    assert list(ck.decrypt(sk.xor(l, r))) == [a ^ b for a, b in CASES]

@@ -91,3 +91,59 @@ def test_encryption_generator_split_streams():
     g2.mask.uniform_u64(4)
     n2 = AesCtrGenerator(8).uniform_u64(4)
     np.testing.assert_array_equal(n1, n2)
+
+
+def test_statistical_battery():
+    """Dieharder-style statistical battery over the AES-128-CTR stream
+    (the reference gates its CSPRNG with scripts/dieharder_test.sh; the
+    binary is not available here, so the canonical NIST SP 800-22-style
+    tests are implemented directly): monobit frequency, block frequency,
+    runs, byte-histogram chi-square, serial 2-bit test, and lag
+    autocorrelation — each at the 10^-6 significance level on 4 MB."""
+    import math
+
+    g = AesCtrGenerator(seed=0x5EED_CAFE)
+    data = g.next_bytes(4 * 1024 * 1024)
+    bits = np.unpackbits(np.asarray(data, dtype=np.uint8))
+    n = bits.size
+    z_crit = 4.9  # two-sided 10^-6
+
+    # 1. monobit frequency
+    s = (2.0 * bits.sum() - n) / math.sqrt(n)
+    assert abs(s) < z_crit, f"monobit z={s}"
+
+    # 2. block frequency (4096-bit blocks): chi^2 ~ N(df, 2df)
+    blocks = bits.reshape(-1, 4096).sum(axis=1)
+    chi = float((((blocks - 2048.0) ** 2) / 1024.0).sum())
+    df = blocks.size
+    z = (chi - df) / math.sqrt(2.0 * df)
+    assert abs(z) < z_crit, f"block frequency z={z}"
+
+    # 3. runs test (total number of 01/10 transitions)
+    pi = bits.mean()
+    runs = int((bits[1:] != bits[:-1]).sum()) + 1
+    exp = 2.0 * n * pi * (1 - pi)
+    z = (runs - exp) / (2.0 * math.sqrt(n) * pi * (1 - pi))
+    assert abs(z) < z_crit, f"runs z={z}"
+
+    # 4. byte histogram chi-square (255 df)
+    hist = np.bincount(data, minlength=256)
+    e = data.size / 256.0
+    chi = float((((hist - e) ** 2) / e).sum())
+    z = (chi - 255.0) / math.sqrt(2.0 * 255.0)
+    assert abs(z) < z_crit, f"byte chi2 z={z}"
+
+    # 5. serial test on overlapping 2-bit patterns
+    pairs = bits[:-1] * 2 + bits[1:]
+    cnt = np.bincount(pairs, minlength=4)
+    e = (n - 1) / 4.0
+    chi = float((((cnt - e) ** 2) / e).sum())
+    z = (chi - 3.0) / math.sqrt(6.0)
+    assert abs(z) < z_crit, f"serial z={z}"
+
+    # 6. autocorrelation at lags 1, 2, 8, 16, 64 bits
+    x = bits.astype(np.int64) * 2 - 1
+    for lag in (1, 2, 8, 16, 64):
+        c = float(np.dot(x[:-lag], x[lag:]))
+        z = c / math.sqrt(n - lag)
+        assert abs(z) < z_crit, f"autocorr lag {lag} z={z}"

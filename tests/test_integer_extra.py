@@ -177,3 +177,25 @@ def test_oblivious_pseudo_random(keys):
     r2 = sk.generate_oblivious_pseudo_random(seed=7, num_blocks=4,
                                              random_bits_count=5)
     assert int(np.atleast_1d(ck.decrypt_radix(r2))[0]) == v
+
+
+def test_vector_slice_comparisons(keys):
+    """all_eq_slices / contains_sub_slice vs clear oracles (reference
+    radix_parallel/vector_comparisons.rs + tests in tests_unsigned)."""
+    ck, sk = keys
+    enc = lambda vals: [ck.encrypt_radix(np.asarray([v], dtype=np.uint64), 4)
+                        for v in vals]
+    dec_bool = lambda blk: bool(np.asarray(sk.decrypt_bool(ck, blk))[0])
+
+    a = enc([10, 20, 30])
+    b = enc([10, 20, 30])
+    c = enc([10, 21, 30])
+    assert dec_bool(sk.all_eq_slices(a, b)) is True
+    assert dec_bool(sk.all_eq_slices(a, c)) is False
+    assert dec_bool(sk.all_eq_slices(a, b[:2])) is False  # length mismatch
+
+    hay = enc([5, 10, 20, 30, 7])
+    assert dec_bool(sk.contains_sub_slice(hay, enc([10, 20]))) is True
+    assert dec_bool(sk.contains_sub_slice(hay, enc([20, 10]))) is False
+    assert dec_bool(sk.contains_sub_slice(hay, enc([7]))) is True
+    assert dec_bool(sk.contains_sub_slice(enc([1]), enc([1, 2]))) is False

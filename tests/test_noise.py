@@ -77,3 +77,77 @@ def test_fitted_formulas_sane():
         p.pbs_base_log, p.pbs_level, p.glwe_noise_distribution.std_dev ** 2,
     )
     assert exact < pbs * 100
+
+
+def test_bnf_extra_noise_matches_formula():
+    """Empirical v6 (2-prime BNF, acc32) blind-rotation error variance vs
+    blind_rotate_additive_variance_exact + bnf_blind_rotate_extra_variance.
+
+    A ZERO-NOISE BSK isolates the approximation terms: the only error
+    sources are the decomposition truncation (standard term) and the BNF
+    rescale + acc32 switch-back (the new terms — chosen base_log makes
+    them comparable in size, so the assertion genuinely exercises them).
+    The ideal result is the exact CMUX ladder computed directly from the
+    binary secret (s_i = 1 -> rotate, else keep), so no decryption and no
+    second crypto path is involved."""
+    import jax.numpy as jnp
+
+    from tfhe_tpu.core import algorithms as alg
+    from tfhe_tpu.ops import bnf2 as b2
+    from tfhe_tpu.utils.csprng import (
+        EncryptionRandomGenerator, SecretRandomGenerator,
+    )
+    from tfhe_tpu.utils.params import DynamicDistribution
+
+    N, n_small, blog, levels, B = 256, 8, 31, 1, 48
+    sgen = SecretRandomGenerator(1234)
+    lwe_sk = alg.gen_lwe_secret_key(n_small, sgen)
+    glwe_sk = alg.gen_glwe_secret_key(1, N, sgen)
+    egen = EncryptionRandomGenerator(77, 78)
+    zero_noise = DynamicDistribution.gaussian_from_std_dev(0.0)
+    bsk = alg.gen_bootstrap_key(lwe_sk, glwe_sk, blog, levels, zero_noise, egen)
+    bsk2 = b2.bootstrap_key_to_bnf2(bsk.data)
+
+    r = np.random.default_rng(5)
+    lut = r.integers(0, 1 << 64, size=(B, 2, N), dtype=np.uint64)
+    mask = r.integers(0, 2 * N, size=(B, n_small), dtype=np.uint64)
+    body = r.integers(0, 2 * N, size=(B,), dtype=np.uint64)
+
+    got = np.asarray(b2.blind_rotate_bnf2(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels, acc_round32=True))
+
+    # ideal CMUX ladder ON THE GLWE PHASE: rotations commute with
+    # decryption, and zero-noise GGSWs make the CMUX select exactly s_i at
+    # the phase level; the residual phase error is the decomposition
+    # truncation + the BNF terms (the quantities the formulas model)
+    def rot(poly, a):
+        a = int(a) % (2 * N)
+        out = np.roll(poly, a % N, axis=-1)
+        idx = np.arange(N)
+        flip = idx < (a % N)
+        out = np.where(flip, (-out.astype(np.int64)).astype(np.uint64), out)
+        if a >= N:
+            out = (-out.astype(np.int64)).astype(np.uint64)
+        return out
+
+    lut_phase = np.asarray(alg.glwe_decrypt(glwe_sk, lut))        # [B, N]
+    got_phase = np.asarray(alg.glwe_decrypt(glwe_sk, got))
+    sbits = np.asarray(lwe_sk.bits, dtype=np.uint64)
+    err_samples = []
+    for bi in range(B):
+        acc = rot(lut_phase[bi], -int(body[bi]))
+        for i in range(n_small):
+            if sbits[i]:
+                acc = rot(acc, int(mask[bi, i]))
+        err_samples.append((got_phase[bi] - acc).astype(np.int64))
+    err = np.concatenate(err_samples, axis=None).astype(np.float64) / 2.0 ** 64
+
+    emp_var = float(np.var(err))
+    trunc = n_small * (1.0 + 1 * N * 0.5) * (2.0 ** blog) ** (-2.0 * levels) / 12.0
+    bnf = nf.bnf_blind_rotate_extra_variance(
+        n_small, 1, N, blog, levels, float(b2.QP), acc32=True)
+    pred = trunc + bnf
+    assert bnf > trunc * 0.5, "test must exercise the BNF terms"
+    ratio = emp_var / pred
+    assert 0.5 < ratio < 2.0, (emp_var, pred, ratio)

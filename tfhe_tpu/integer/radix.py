@@ -454,6 +454,79 @@ class ServerKey(RadixExtraOps):
             counts = np.concatenate([[1], counts[take:]])
         return BooleanBlock(ct=cur[..., 0, :])
 
+    def _reduce_at_least_one(self, bit_blocks) -> BooleanBlock:
+        """OR-reduce a list of BooleanBlocks: enc(1) iff any bit is 1
+        (reference is_at_least_one_comparisons_block_true)."""
+        import jax.numpy as jnp
+
+        from ..shortint.ciphertext import ShortintCiphertext
+
+        mm = self.params.message_modulus
+        cm = self.params.carry_modulus
+        max_sum = mm * cm - 1
+        cur = jnp.stack([b.ct for b in bit_blocks], axis=-2)  # [..., W, dim]
+        while cur.shape[-2] > 1:
+            take = min(cur.shape[-2], max_sum)
+            summed = jnp.sum(cur[..., :take, :], axis=-2)
+            s = ShortintCiphertext(ct=summed, degree=take, noise_level=take,
+                                   message_modulus=mm, carry_modulus=cm)
+            lut = self.key.generate_lookup_table(lambda x: 1 if x > 0 else 0)
+            bit = self.key.apply_lookup_table(s, lut).ct
+            cur = jnp.concatenate([bit[..., None, :], cur[..., take:, :]],
+                                  axis=-2)
+        return BooleanBlock(ct=cur[..., 0, :])
+
+    def _trivial_bool(self, value: bool, like: RadixCiphertext) -> BooleanBlock:
+        """Trivial (noiseless, keyless) boolean block — what the reference's
+        create_trivial_boolean_block returns for degenerate slice shapes."""
+        import jax.numpy as jnp
+
+        ct = jnp.zeros_like(like.ct[..., 0, :])
+        if value:
+            ct = ct.at[..., -1].set(jnp.uint64(self.key.encoding.delta()))
+        return BooleanBlock(ct=ct)
+
+    # ======================================================================
+    # vector-slice comparisons
+    # (reference integer/server_key/radix_parallel/vector_comparisons.rs)
+    # ======================================================================
+
+    def all_eq_slices(self, lhs, rhs) -> BooleanBlock:
+        """enc(true) iff the two slices of radix ciphertexts are equal
+        pairwise (vector_comparisons.rs:12 all_eq_slices_parallelized).
+
+        Mismatched slice lengths or block counts return trivial false. All
+        pairs' blockwise equality bits are computed in ONE batched
+        bivariate-LUT pass (the blocks of every pair concatenated on the
+        block axis) and AND-reduced together."""
+        if len(lhs) != len(rhs) or not lhs:
+            ref = (lhs or rhs)[0]
+            return self._trivial_bool(False, ref)
+        if any(a.num_blocks != b.num_blocks for a, b in zip(lhs, rhs)):
+            return self._trivial_bool(False, lhs[0])
+        import jax.numpy as jnp
+
+        cat = lambda xs: xs[0].with_ct(
+            jnp.concatenate([x.ct for x in xs], axis=-2),
+            degrees=np.concatenate([x.degrees for x in xs]),
+            noise_levels=np.concatenate([x.noise_levels for x in xs]),
+        )
+        a, b = cat(list(lhs)), cat(list(rhs))
+        bits = self._bitwise(a, b, lambda x, y: 1 if x == y else 0)
+        return self._reduce_all_ones(bits)
+
+    def contains_sub_slice(self, lhs, rhs) -> BooleanBlock:
+        """enc(true) iff some window of ``lhs`` equals ``rhs``
+        (vector_comparisons.rs:110 contains_sub_slice_parallelized):
+        all_eq over every window of len(rhs), then an OR-reduction."""
+        if len(rhs) > len(lhs):
+            return self._trivial_bool(False, lhs[0] if lhs else rhs[0])
+        windows = [self.all_eq_slices(lhs[i:i + len(rhs)], rhs)
+                   for i in range(len(lhs) - len(rhs) + 1)]
+        if len(windows) == 1:
+            return windows[0]
+        return self._reduce_at_least_one(windows)
+
     # ======================================================================
     # parallel carry propagation (Hillis–Steele prefix scan over carry
     # states) — reference integer/server_key/radix_parallel/add.rs:828-1260

@@ -27,8 +27,32 @@ _mem: dict = {}
 _lock = threading.Lock()
 
 
-def _cache_dir(param_name: str, seed: int) -> Path:
-    return Path(_DEFAULT_DIR) / f"{param_name}_s{seed}"
+def _fingerprint(params) -> str:
+    """Short stable hash of the fields that shape key material.
+
+    The cache was originally keyed by ``params.name`` alone, but two
+    DIFFERENT parameter sets can share a name (e.g. ``utils.params``'s
+    PARAM_MESSAGE_2_CARRY_2_KS_PBS vs the registry entry of the same name
+    with different lwe_dimension/ks decomposition) — a name-only key then
+    silently serves incompatible keys and the keyswitch crashes or, worse,
+    corrupts. Keying on the actual geometry closes that."""
+    import hashlib
+
+    fields = []
+    for f in ("lwe_dimension", "glwe_dimension", "polynomial_size",
+              "ks_base_log", "ks_level", "pbs_base_log", "pbs_level",
+              "grouping_factor", "message_modulus", "carry_modulus",
+              "encryption_key_choice", "modulus_switch_type"):
+        fields.append(str(getattr(params, f, None)))
+    for f in ("lwe_noise_distribution", "glwe_noise_distribution"):
+        d = getattr(params, f, None)
+        fields.append(f"{getattr(d, 'kind', None)}:{getattr(d, 'std_dev', None)}:"
+                      f"{getattr(d, 'bound_log2', None)}")
+    return hashlib.sha256("|".join(fields).encode()).hexdigest()[:12]
+
+
+def _cache_dir(param_name: str, seed: int, fp: str) -> Path:
+    return Path(_DEFAULT_DIR) / f"{param_name}_s{seed}_{fp}"
 
 
 def get_shortint_keys(params, seed: int = 0):
@@ -36,14 +60,15 @@ def get_shortint_keys(params, seed: int = 0):
     from .shortint.client_key import ClientKey
     from .shortint.server_key import ServerKey
 
-    key = ("shortint", params.name, seed)
+    fp = _fingerprint(params)
+    key = ("shortint", params.name, seed, fp)
     with _lock:
         if key in _mem:
             return _mem[key]
 
     import jax.numpy as jnp
 
-    d = _cache_dir(params.name, seed)
+    d = _cache_dir(params.name, seed, fp)
     ck = ClientKey.generate(params, seed)  # fast (secret keys only)
     if (d / "bsk_scan.npy").exists():
         sk = ServerKey(

@@ -36,11 +36,20 @@ Arithmetic model (mirrors ntt64_bnf_pbs.rs):
   the Pallas kernel).
 
 Error budget at 2_2 production parameters (base_log 23, 1 level, k=1,
-N=2048, n=866): per-step output-coefficient error std ~= 16 * 2^22 *
-sqrt(2*2048/12) / sqrt(12) ~ 2^30, switch-back bias <= 18/step; over 866
-steps ~2^35 std — negligible against the >= 2^47 intrinsic PBS noise and
-the 2^58 decryption margin (statistically tested in tests/test_bnf2.py,
-same harness as the v5 Goldilocks path).
+N=2048, n=866), PHASE level — mask-component errors ride a convolution
+with the binary GLWE secret, amplifying per-unit variance by
+(1 + k*N/2) = 1025 (empirically confirmed, tests/test_noise.py):
+
+- BSK rescale: n * 1025 * (k+1)*l*N * (B^2/12) / (12 q'^2) ~= 2^-52.3
+  variance -> std ~2^37.9 absolute;
+- acc32 switch-back (``qp_to_torus32``, error std ~1.1 units of 2^32):
+  n * 1025 * 1.27 * 2^-64 ~= 2^-43.9 variance -> std ~2^41 absolute.
+
+Both are far below the >= 2^47 intrinsic PBS noise std and the 2^58
+decryption margin (closed-form: ``core/noise_formulas.py``
+``bnf_blind_rotate_extra_variance``, validated against empirical
+variance in tests/test_noise.py; production decrypt sweeps in
+tools/v6_tpu_check.py).
 """
 
 from __future__ import annotations
@@ -68,6 +77,14 @@ G_CONST: int = (1 << 124) // QP - (1 << 64)
 assert 0 < G_CONST < (1 << 60)
 G1: int = G_CONST >> 32
 G0: int = G_CONST & _M32
+
+#: acc32 switch-back constant (``qp_to_torus32``): t1 = (v1 * C1T) >> 28
+#: approximates v1 * p0 * 2^32 / q' = v1 * 2^32 / p1 (note p0*2^32/q' ==
+#: 2^32/p1 exactly). v1 < P1 and C1T <= 2^60/P1 keep the product < 2^60.
+C1T: int = (1 << 60) // P1
+#: centering bias for the two dropped/truncated terms of qp_to_torus32
+#: (the undershoot is in [0, ~7.5] units of 2^32; +4 centers it)
+T32_BIAS: int = 4
 
 
 def get_plan2(n: int) -> ntt_mod.NegacyclicNtt:
@@ -120,6 +137,31 @@ def crt2_merge(r0: jnp.ndarray, r1: jnp.ndarray) -> jnp.ndarray:
     d = jnp.remainder(r1 + _U64(P1) - r0, _U64(P1))
     v1 = jnp.remainder(d * _U64(INV01), _U64(P1))  # < 2^60 product: exact
     return r0 + _U64(P0) * v1
+
+
+def qp_to_torus32(r0: jnp.ndarray, r1: jnp.ndarray) -> jnp.ndarray:
+    """acc32 switch-back, fused with the CRT merge: canonical residues
+    (r0 mod P0, r1 mod P1) -> hi-plane torus value (u32 inside u64)
+
+        t32 ~= round(crt2_merge(r0, r1) * 2^32 / QP)   (mod 2^32)
+
+    SPEC formula (the Pallas kernel's acc32 v6 tail matches it bit for
+    bit):
+
+        v1 = (r1 + 2*P1 - r0) * INV01  mod P1
+        t32 = ((v1 * C1T) >> 28) + (r0 >> 28) + T32_BIAS   (mod 2^32)
+
+    Exactly one u32-plane is produced; the full 64-bit switch-back's
+    x0-cross terms are dropped because the acc32 accumulator rounds every
+    increment to a multiple of 2^32 anyway. |error| <= ~4 units of 2^32
+    after the +T32_BIAS centering — below the acc32 rounding noise
+    (std 2^32/sqrt(12) per step) that the mode already accepts."""
+    r0 = jnp.asarray(r0, dtype=_U64)
+    r1 = jnp.asarray(r1, dtype=_U64)
+    d = jnp.remainder(r1 + _U64(2 * P1) - r0, _U64(P1))
+    v1 = jnp.remainder(d * _U64(INV01), _U64(P1))
+    t = ((v1 * _U64(C1T)) >> _U64(28)) + (r0 >> _U64(28)) + _U64(T32_BIAS)
+    return t & _U64(_M32)
 
 
 def qp_to_torus(x: jnp.ndarray) -> jnp.ndarray:
@@ -189,11 +231,12 @@ def blind_rotate_bnf2(
     switch follow ``crt2_merge``/``qp_to_torus`` exactly.
 
     ``acc_round32``: mirror of the Pallas kernel's acc32 contract — the
-    accumulator and every CMUX increment are rounded to the nearest
-    multiple of 2^32 (bit-exact twin of ``blind_rotate_pallas(bnf2=True)``
-    under its default TFHE_V4_ACC=32; the rotate/decompose stages commute
-    with the rounding because a multiple-of-2^32 accumulator has an exact
-    zero low limb).
+    accumulator starts rounded to the nearest multiple of 2^32 and every
+    CMUX increment is produced directly as a hi-plane value by the fused
+    ``qp_to_torus32`` switch-back (bit-exact twin of
+    ``blind_rotate_pallas(bnf2=True)`` under its default TFHE_V4_ACC=32;
+    the rotate/decompose stages commute with the rounding because a
+    multiple-of-2^32 accumulator has an exact zero low limb).
 
     ``lut``: u64[B, R, N]; ``msed_mask``: u64[B, n] in [0, 2N);
     ``msed_body``: u64[B]; ``bsk_scan2``: u32[n, 2, 2, l*R, R, N].
@@ -242,11 +285,11 @@ def blind_rotate_bnf2(
                 per_p.append(acc_m)
             # inverse expects [P, ..., N]
             r = plan.inv(jnp.stack(per_p))  # canonical residues
-            x = crt2_merge(r[0], r[1])
-            res_c.append(qp_to_torus(x))
+            if acc_round32:
+                res_c.append(qp_to_torus32(r[0], r[1]) << jnp.uint64(32))
+            else:
+                res_c.append(qp_to_torus(crt2_merge(r[0], r[1])))
         inc = jnp.stack(res_c, axis=-2)  # [B, R, N]
-        if acc_round32:
-            inc = r32(inc)
         return acc + inc
 
     return lax.fori_loop(0, nsteps, body_fn, acc)

@@ -248,8 +248,14 @@ class NegacyclicNtt:
 
     # -- forward ------------------------------------------------------------
     def fwd_digits(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Forward negacyclic NTT of *small signed* inputs (|x| < p, e.g.
+        """Forward negacyclic NTT of *small signed* inputs (|x| < 2p, e.g.
         gadget-decomposition digits). Division-free.
+
+        NB the bound is 2p, not p: base_log*levels = 31 decompositions
+        produce |digit| <= 2^30, which exceeds the ~2^29.985 plan primes —
+        one conditional add of p is not enough to make those non-negative
+        (the Pallas kernels are immune: their offset int8 limb split is
+        sign-agnostic).
 
         ``x``: int64[..., N] -> uint64 residues in [0, p), [P, ..., N].
         """
@@ -257,7 +263,9 @@ class NegacyclicNtt:
         assert x.shape[-1] == n
         p = self.p_like(x.ndim)
         xs = x[None].astype(jnp.int64)
-        r = jnp.where(xs < 0, xs + p.astype(jnp.int64), xs).astype(jnp.uint64)
+        pi = p.astype(jnp.int64)
+        r = jnp.where(xs < 0, xs + pi, xs)
+        r = jnp.where(r < 0, r + pi, r).astype(jnp.uint64)
         twist = self._bcast(self.twist, x.ndim)
         twist_s = self._bcast(self.twist_shoup, x.ndim)
         r = shoup_mul(r, twist, twist_s, p)

@@ -1515,6 +1515,22 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                           (x_hi << U32(4)) | (x_lo >> U32(28)),
                           x_lo << U32(4))
 
+        def bnf2_c32(m):
+            """acc32 v6 tail: round(CRT(m0, m1) * 2^32 / q') directly as
+            ONE u32 plane (spec: ops/bnf2.py ``qp_to_torus32``, mirrored
+            bit for bit) — the full 64-bit merge + switch-back collapses
+            to one Shoup multiply and one widening multiply per element."""
+            from . import bnf2 as b2
+
+            p1 = U32(b2.P1)
+            # v1 = (r1 + 2*P1 - r0) * inv01 mod p1 (diff < 3*P1 < 2^32)
+            diff = p1 + p1 + m[1] - m[0]
+            v1 = _condsub(_shoup(diff, U32(b2.INV01), U32(b2.INV01_SH), p1),
+                          p1)
+            s_hi, s_lo = _mul_hi_lo(v1, U32(b2.C1T))  # v1*C1T < 2^60
+            t1 = (s_hi << U32(4)) | (s_lo >> U32(28))
+            return t1 + (m[0] >> U32(28)) + U32(b2.T32_BIAS)
+
         recomb = bnf2_c if bnf2 else garner_c
 
         # live-register relief: optionally run the recombination in G-slices
@@ -1528,6 +1544,16 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                     hi[c] = hi[c] + m[0]
                 else:
                     hi[c], lo[c] = _add64(hi[c], lo[c], m[0], m[P - 1])
+                continue
+            if bnf2 and acc32:
+                # the fused hi-plane tail; no lo limb ever materializes
+                if 0 < gch < G:
+                    t32 = jnp.concatenate(
+                        [bnf2_c32([x[g0:g0 + gch] for x in m])
+                         for g0 in range(0, G, gch)], axis=0)
+                else:
+                    t32 = bnf2_c32(m)
+                hi[c] = hi[c] + t32
                 continue
             if 0 < gch < G:
                 parts = [recomb([x[g0:g0 + gch] for x in m])

@@ -532,6 +532,24 @@ BOOLEAN_DEFAULT_PARAMETERS_KS_PBS = BooleanParameters(
     name="BOOLEAN_DEFAULT_PARAMETERS_KS_PBS",
 )
 
+# Reference: boolean/parameters/mod.rs:131 TFHE_LIB_PARAMETERS — the
+# original TFHE-lib (tfhe_gate_bootstrapping.cpp) legacy parameter set,
+# kept for cross-library comparison (security ~120 bits as of the
+# reference's own note).
+BOOLEAN_TFHE_LIB_PARAMETERS = BooleanParameters(
+    lwe_dimension=630,
+    glwe_dimension=1,
+    polynomial_size=1024,
+    lwe_noise_distribution=_G(0.000030517578125),
+    glwe_noise_distribution=_G(0.00000002980232238769531),
+    pbs_base_log=7,
+    pbs_level=3,
+    ks_base_log=2,
+    ks_level=8,
+    encryption_key_choice=EncryptionKeyChoice.SMALL,
+    name="BOOLEAN_TFHE_LIB_PARAMETERS",
+)
+
 # Toy boolean parameters for CI.
 BOOLEAN_TEST_TOY = BooleanParameters(
     lwe_dimension=16,

@@ -28,7 +28,8 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "TESTS_TPU.md"
+OUT = (sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-")
+       else "TESTS_TPU.md")
 results = []
 
 
@@ -214,19 +215,168 @@ def compression_roundtrip(params):
         f"storage {packed.storage.nbytes} B for 64 cts")
 
 
+def noise_squashing_prod():
+    """Noise squashing at production parameters (u128 PBS over the 6-prime
+    CRT): squash then decrypt under the 128-bit key, message+carry intact
+    (reference shortint/noise_squashing at NOISE_SQUASHING_PARAM_*)."""
+    from tfhe_tpu.keycache import get_shortint_keys
+    from tfhe_tpu.shortint.noise_squashing import (
+        NoiseSquashingKey, NoiseSquashingPrivateKey,
+    )
+    from tfhe_tpu.utils import params_registry
+    from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
+
+    sq_p = params_registry.get(
+        "NOISE_SQUASHING_PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128")
+    t0 = time.time()
+    ck, sk = get_shortint_keys(P, seed=42)
+    priv = NoiseSquashingPrivateKey.generate(ck, sq_p)
+    nsk = NoiseSquashingKey.generate(ck, priv)
+    tk = time.time() - t0
+    a = ck.encrypt(np.arange(4, dtype=np.uint64))
+    b = ck.encrypt(np.array([3, 3, 3, 3], dtype=np.uint64))
+    s = sk.unchecked_add(a, b)  # message+carry values 3..6
+    t1 = time.time()
+    squashed = nsk.squash_ciphertext_noise(sk, s)
+    got = priv.decrypt(squashed)
+    record(
+        "noise squashing (production NOISE_SQUASHING_PARAM_2_2_TUNIFORM, "
+        "N=2048 k=2 u128)", got == [3, 4, 5, 6],
+        f"keygen {tk:.0f}s; squash+decrypt {time.time()-t1:.1f}s; got {got}")
+
+
+def wopbs_prod():
+    """WoP-PBS (bit extract -> circuit bootstrap -> vertical packing) at
+    production 2_2 parameters over the full message+carry space."""
+    from tfhe_tpu.keycache import get_shortint_keys
+    from tfhe_tpu.shortint.wopbs import WopbsKey
+    from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
+
+    t0 = time.time()
+    ck, sk = get_shortint_keys(P, seed=42)
+    wk = WopbsKey.generate(ck, sk)
+    tk = time.time() - t0
+    f = lambda x: (7 * x + 3) % 16  # noqa: E731
+    ok = True
+    detail = []
+    t1 = time.time()
+    for m in (0, 3, 9, 15):
+        from tfhe_tpu.shortint.ciphertext import ShortintCiphertext  # noqa
+        ct = ck.encrypt(np.array([m % 4], dtype=np.uint64))
+        # lift to message+carry via adds
+        while int(np.asarray(ck.decrypt_message_and_carry(ct))[0]) < m:
+            ct = sk.unchecked_add(ct, ck.encrypt(np.array([min(
+                3, m - int(np.asarray(ck.decrypt_message_and_carry(ct))[0]))],
+                dtype=np.uint64)))
+        out = wk.wopbs(ct, f)
+        got = int(np.asarray(ck.decrypt_message_and_carry(out))[0])
+        ok &= got == f(m)
+        detail.append(f"{m}->{got}")
+    record("wopbs full LUT over message+carry (production 2_2)", ok,
+           f"keygen {tk:.0f}s; 4 LUTs {time.time()-t1:.1f}s; " + " ".join(detail))
+
+
+def strings_prod():
+    """Encrypted ASCII ops at production 2_2 parameters."""
+    from tfhe_tpu.integer.radix import ClientKey as IntCk, ServerKey as IntSk
+    from tfhe_tpu.strings import FheAsciiString, StringClientKey, StringServerKey
+    from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
+
+    t0 = time.time()
+    ick = IntCk.generate(P, seed=42)
+    isk = IntSk.generate(ick)
+    sck, ssk = StringClientKey(ick), StringServerKey(isk)
+    tk = time.time() - t0
+    s = sck.encrypt_ascii("tpu native")
+    t1 = time.time()
+    eq = bool(np.asarray(isk.decrypt_bool(
+        ick, ssk.eq(s, sck.encrypt_ascii("tpu native"))))[0])
+    has = bool(np.asarray(isk.decrypt_bool(
+        ick, ssk.contains_clear(s, "nati")))[0])
+    hasnt = bool(np.asarray(isk.decrypt_bool(
+        ick, ssk.contains_clear(s, "gpu")))[0])
+    record("strings eq + contains (production 2_2)",
+           eq and has and not hasnt,
+           f"keygen {tk:.0f}s; 3 ops {time.time()-t1:.1f}s")
+
+
+def long_run_prod():
+    """Seeded random op chain at production 2_2 (tests_long_run analog,
+    tests/test_long_run.py at toy params; this is the TPU production row)."""
+    from tfhe_tpu.integer.radix import ClientKey as IntCk, ServerKey as IntSk
+    from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
+
+    t0 = time.time()
+    ck = IntCk.generate(P, seed=42)
+    sk = IntSk.generate(ck)
+    tk = time.time() - t0
+    rng = np.random.default_rng(0xC0FFEE)
+    NB, MOD = 4, 1 << 8
+    m = np.uint64(MOD - 1)
+    ops = [("add", sk.add, lambda x, y: (x + y) & m),
+           ("mul", sk.mul, lambda x, y: (x * y) & m),
+           ("bitxor", sk.bitxor, lambda x, y: x ^ y),
+           ("min", sk.min, np.minimum)]
+    clear = [np.uint64(v) for v in rng.integers(0, MOD, size=2, dtype=np.uint64)]
+    enc = [ck.encrypt_radix(np.asarray([v], dtype=np.uint64), NB) for v in clear]
+    ok = True
+    t1 = time.time()
+    n_ops = 12
+    for step in range(n_ops):
+        name, fn, oracle = ops[int(rng.integers(0, len(ops)))]
+        dst = int(rng.integers(0, 2))
+        enc[dst] = fn(enc[dst], enc[1 - dst])
+        clear[dst] = np.uint64(oracle(clear[dst], clear[1 - dst]))
+        got = int(np.asarray(ck.decrypt_radix(enc[dst]))[0])
+        ok &= got == int(clear[dst])
+    record(f"long-run random op chain x{n_ops} FheUint8 (production 2_2)",
+           ok, f"keygen {tk:.0f}s; chain {time.time()-t1:.1f}s")
+
+
+STAGES = {
+    "squash": lambda: noise_squashing_prod(),
+    "wopbs": lambda: wopbs_prod(),
+    "strings": lambda: strings_prod(),
+    "longrun": lambda: long_run_prod(),
+}
+
+
 def main():
     from tfhe_tpu.utils.params import (
         PARAM_MESSAGE_2_CARRY_2_KS_PBS,
         PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM,
     )
 
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+
     t0 = time.time()
+    if only:
+        for s in only:
+            STAGES[s]()
+        # append-mode: add rows to the existing TESTS_TPU.md table
+        n_pass = sum(1 for _, ok, _ in results if ok)
+        with open(OUT, "a") as f:
+            f.write(f"\nExtension run {datetime.now(timezone.utc).isoformat(timespec='seconds')} "
+                    f"({time.time()-t0:.0f}s wall):\n\n")
+            f.write("| test | result | detail |\n|---|---|---|\n")
+            for name, ok, detail in results:
+                f.write(f"| {name} | {'PASS' if ok else 'FAIL'} | {detail} |\n")
+            f.write(f"\n**{n_pass}/{len(results)} pass (extension)**\n")
+        print(f"\n{n_pass}/{len(results)} pass -> {OUT} (appended)")
+        sys.exit(0 if n_pass == len(results) else 1)
+
     shortint_sweep(PARAM_MESSAGE_2_CARRY_2_KS_PBS, "2_2_gaussian_2M128")
     shortint_sweep(PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM, "2_2_tuniform_2M128")
     boolean_tables()
     integer_oracle(PARAM_MESSAGE_2_CARRY_2_KS_PBS)
     compression_roundtrip(PARAM_MESSAGE_2_CARRY_2_KS_PBS)
     multibit_exhaustive()
+    noise_squashing_prod()
+    wopbs_prod()
+    strings_prod()
+    long_run_prod()
     wall = time.time() - t0
 
     n_pass = sum(1 for _, ok, _ in results if ok)

@@ -37,9 +37,11 @@ def stage1_parity():
     bsk_std = r.integers(0, 1 << 64, size=(nsteps, levels, R, R, N),
                          dtype=np.uint64)
     bsk2 = b2.bootstrap_key_to_bnf2(bsk_std)
+    # mirror the kernel's accumulator mode (defaults to acc32 for v6)
+    acc32 = os.environ.get("TFHE_V4_ACC", "32") == "32"
     want = fetch(b2.blind_rotate_bnf2(
         jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
-        blog, levels))
+        blog, levels, acc_round32=acc32))
     got = fetch(pk.blind_rotate_pallas(
         jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
         blog, levels, b2.get_plan2(N), batch_tile=16, unroll=2, bnf2=True))
