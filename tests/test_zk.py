@@ -209,3 +209,78 @@ def test_proven_compact_list_v2_roundtrip():
 
     lst.ct_list.bodies[0] += np.uint64(1 << 59)
     assert not lst.verify(zk_crs, pk, metadata=b"md2")
+
+
+def test_native_curve_backend_matches_python():
+    """The C hot-loop backend (native/bls446.c) must agree point-for-point
+    with the pure-Python curve (the spec) on fixed-base power generation
+    and Pippenger MSM, over both groups."""
+    import random
+
+    from tfhe_tpu.zk import curve as cv
+
+    if cv._native_lib() is None:
+        pytest.skip("native BLS12-446 backend unavailable")
+    rnd = random.Random(11)
+    alpha = rnd.randrange(cv.R)
+    scalars = [pow(alpha, j, cv.R) for j in range(1, 25)] + [0]
+    for cls, ops in ((cv.G1, cv.FQ_OPS), (cv.G2, cv.FQ2_OPS)):
+        nat = cv._native_fixed_powers(cls, scalars, 8)
+        tbl = cv._FixedBaseTable(cls.GEN, ops, bits=cv.R.bit_length())
+        pure = tbl.mul_many(scalars)
+        assert [p.pt for p in nat] == pure
+        pts = [p.pt for p in nat]
+        ks = [rnd.randrange(cv.R) for _ in pts]
+        ks[3] = 0  # zero scalar and infinity point both exercised
+        nat_msm = cv._native_msm(cls, pts, ks)
+        j = cv._msm_pippenger(pts, ks, ops, bits=cv.R.bit_length())
+        (aff,) = cv._jac_to_affine_batch([j], ops)
+        assert nat_msm.pt == aff
+
+
+def test_poly_mul_kronecker_matches_schoolbook():
+    import random
+
+    from tfhe_tpu.zk.pke import _poly_mul_mod
+
+    rnd = random.Random(3)
+    ZP = R
+    a = [rnd.randrange(ZP) for _ in range(67)]
+    b = [rnd.randrange(ZP) for _ in range(45)]
+    out = _poly_mul_mod(a, b, ZP)
+    ref = [0] * (len(a) + len(b) - 1)
+    for i, ai in enumerate(a):
+        for j, bj in enumerate(b):
+            ref[i + j] = (ref[i + j] + ai * bj) % ZP
+    assert out == ref
+
+
+def test_zk_v2_production_dimensions():
+    """End-to-end pke_v2 at the reference's production PKE parameter set
+    (PARAM_PKE_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128: d = 2048,
+    t_uniform(17) — tfhe-zk-pok/src/proofs/pke_v2.rs:638 sizing). Runs in
+    ~15 s with the native curve backend; see tools/zk_prod_bench.py and
+    ZK_PROD_r04.json for the recorded 4xFheUint64 (k = 128) wall times."""
+    from tfhe_tpu.shortint.compact_public_key import (
+        CompactPrivateKey,
+        CompactPublicKey,
+    )
+    from tfhe_tpu.utils.params_registry import get as params_by_name
+    from tfhe_tpu.zk.proven_list import (
+        ProvenCompactCiphertextList,
+        crs_for_params_v2,
+    )
+
+    P = params_by_name("PARAM_PKE_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128")
+    crs = crs_for_params_v2(P, max_bin_messages=8, seed=1)
+    assert crs.d == 2048
+    priv = CompactPrivateKey.generate(P, seed=7)
+    pk = CompactPublicKey.generate(priv)
+    msgs = [3, 0, 2, 1, 1, 2]
+    lst = ProvenCompactCiphertextList.encrypt_and_prove(
+        pk, msgs, crs, metadata=b"prod")
+    ct = lst.verify_and_expand(crs, pk, metadata=b"prod")
+    dec = priv.decrypt_expanded(np.asarray(ct.ct))
+    assert list(dec) == msgs
+    lst.ct_list.bodies[0] += np.uint64(1 << 59)
+    assert not lst.verify(crs, pk, metadata=b"prod")

@@ -65,3 +65,50 @@ def aes128_ctr_stream(key16: bytes, first_block: int, n_blocks: int):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out.reshape(n_blocks, 16)
+
+
+# ---------------------------------------------------------------------------
+# BLS12-446 curve hot loops (zk/curve.py speed path)
+# ---------------------------------------------------------------------------
+
+_BLS_SO = os.path.join(_DIR, "libtfhe_bls446.so")
+_BLS_SRC = os.path.join(_DIR, "bls446.c")
+
+_bls_lib = None
+_bls_tried = False
+
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def get_bls_lib():
+    """The BLS12-446 native library, or None (callers fall back to the
+    pure-Python curve)."""
+    global _bls_lib, _bls_tried
+    if _bls_lib is not None or _bls_tried:
+        return _bls_lib
+    _bls_tried = True
+    if (not os.path.exists(_BLS_SO)
+            or os.path.getmtime(_BLS_SO) < os.path.getmtime(_BLS_SRC)):
+        try:
+            subprocess.run(
+                ["cc", "-O3", "-shared", "-fPIC", "-o", _BLS_SO, _BLS_SRC],
+                check=True, capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_BLS_SO)
+        for pre in ("g1", "g2"):
+            fp = getattr(lib, f"{pre}_fixed_powers")
+            fp.argtypes = [_u64p, _u64p, ctypes.c_longlong, ctypes.c_int,
+                           _u64p, _u8p]
+            fp.restype = None
+            ms = getattr(lib, f"{pre}_msm")
+            ms.argtypes = [_u64p, _u8p, _u64p, ctypes.c_longlong, _u64p,
+                           _u8p]
+            ms.restype = None
+        _bls_lib = lib
+    except OSError:
+        _bls_lib = None
+    return _bls_lib

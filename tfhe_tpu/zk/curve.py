@@ -309,6 +309,168 @@ def _jac_add_affine(j, a, ops):
     return (X3, Y3, Z3)
 
 
+def _jac_add(p, q, ops):
+    """Full Jacobian + Jacobian addition (a = 0), add-2007-bl shape."""
+    if p is None:
+        return q
+    if q is None:
+        return p
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    Z1Z1 = ops.mul(Z1, Z1)
+    Z2Z2 = ops.mul(Z2, Z2)
+    U1 = ops.mul(X1, Z2Z2)
+    U2 = ops.mul(X2, Z1Z1)
+    S1 = ops.mul(Y1, ops.mul(Z2, Z2Z2))
+    S2 = ops.mul(Y2, ops.mul(Z1, Z1Z1))
+    H = ops.sub(U2, U1)
+    Rr = ops.sub(S2, S1)
+    if H == ops.zero:
+        if Rr == ops.zero:
+            return _jac_double(p, ops)
+        return None
+    H2 = ops.add(H, H)
+    I = ops.mul(H2, H2)
+    J = ops.mul(H, I)
+    r2 = ops.add(Rr, Rr)
+    V = ops.mul(U1, I)
+    X3 = ops.sub(ops.sub(ops.mul(r2, r2), J), ops.add(V, V))
+    S1J = ops.mul(ops.add(S1, S1), J)
+    Y3 = ops.sub(ops.mul(r2, ops.sub(V, X3)), S1J)
+    Zs = ops.add(Z1, Z2)
+    Z3 = ops.mul(ops.sub(ops.sub(ops.mul(Zs, Zs), Z1Z1), Z2Z2), H)
+    return (X3, Y3, Z3)
+
+
+def _jac_to_affine_batch(jacs, ops):
+    """Jacobian points (or None) -> affine (or None) with ONE field
+    inversion for the whole batch (Montgomery's trick)."""
+    idx = [i for i, j in enumerate(jacs) if j is not None]
+    if not idx:
+        return [None] * len(jacs)
+    # prefix products of the Z coordinates
+    prefix = []
+    acc = ops.one
+    for i in idx:
+        acc = ops.mul(acc, jacs[i][2])
+        prefix.append(acc)
+    inv_all = ops.inv(acc)
+    out = [None] * len(jacs)
+    for pos in range(len(idx) - 1, -1, -1):
+        i = idx[pos]
+        zinv = ops.mul(inv_all, prefix[pos - 1]) if pos else inv_all
+        inv_all = ops.mul(inv_all, jacs[i][2])
+        zi2 = ops.mul(zinv, zinv)
+        out[i] = (ops.mul(jacs[i][0], zi2),
+                  ops.mul(jacs[i][1], ops.mul(zi2, zinv)))
+    return out
+
+
+def _msm_pippenger(points, scalars, ops, bits: int = None):
+    """Multi-scalar multiplication over affine points (bucket method).
+
+    ``points``: affine tuples (or None); ``scalars``: non-negative ints.
+    Returns a Jacobian point or None. Window size scales with the input
+    so bucket setup amortizes (c ~ log2(size)).
+    """
+    pairs = [(p, s) for p, s in zip(points, scalars) if p is not None and s]
+    if not pairs:
+        return None
+    if len(pairs) == 1:
+        p, s = pairs[0]
+        j = _pt_mul_jac(p, s, ops)
+        return j
+    if bits is None:
+        bits = max(s.bit_length() for _, s in pairs)
+    m = len(pairs)
+    # window minimizing nwin*(m + ~1.2*2^c) mixed/jacobian additions
+    c = min(range(2, 17),
+            key=lambda w: ((bits + w - 1) // w) * (m + 1.2 * (1 << w)))
+    nwin = (bits + c - 1) // c
+    mask = (1 << c) - 1
+    total = None
+    for w in range(nwin - 1, -1, -1):
+        if total is not None:
+            for _ in range(c):
+                total = _jac_double(total, ops)
+        buckets = [None] * (mask + 1)
+        sh = w * c
+        for p, s in pairs:
+            b = (s >> sh) & mask
+            if b:
+                buckets[b] = _jac_add_affine(buckets[b], p, ops)
+        # running-sum trick: sum_b b * bucket[b]
+        run = None
+        win_sum = None
+        for b in range(mask, 0, -1):
+            run = _jac_add(run, buckets[b], ops)
+            win_sum = _jac_add(win_sum, run, ops)
+        total = _jac_add(total, win_sum, ops)
+    return total
+
+
+def _pt_mul_jac(pt, k: int, ops):
+    """Like :func:`_pt_mul` but returns Jacobian (no final inversion)."""
+    if pt is None or k == 0:
+        return None
+    acc = None
+    for bit in bin(k)[2:]:
+        if acc is not None:
+            acc = _jac_double(acc, ops)
+        if bit == "1":
+            acc = _jac_add_affine(acc, pt, ops)
+    return acc
+
+
+class _FixedBaseTable:
+    """Windowed fixed-base scalar multiplication: table[i][b] holds the
+    affine point (b << (w*i)) * base, so a scalar multiply is ~bits/w
+    mixed additions and zero doublings. Built once per base (the CRS
+    generator) with a single batch inversion."""
+
+    def __init__(self, base_affine, ops, bits: int, window: int = 8):
+        self.ops = ops
+        self.window = window
+        w = window
+        nwin = (bits + w - 1) // w
+        jacs = []
+        cur = (base_affine[0], base_affine[1], ops.one)
+        for _ in range(nwin):
+            row = [cur]
+            for _ in range((1 << w) - 2):
+                row.append(_jac_add(row[-1], cur, ops))
+            jacs.extend(row)
+            cur = row[-1]
+            cur = _jac_add(cur, row[0], ops)  # 2^w * window base
+        aff = _jac_to_affine_batch(jacs, ops)
+        per = (1 << w) - 1
+        self.rows = [aff[i * per:(i + 1) * per] for i in range(nwin)]
+
+    def mul_jac(self, k: int):
+        """k * base as a Jacobian point (or None)."""
+        ops = self.ops
+        w = self.window
+        mask = (1 << w) - 1
+        acc = None
+        i = 0
+        while k:
+            b = k & mask
+            if b:
+                if i >= len(self.rows):
+                    raise ValueError("scalar exceeds table range")
+                pt = self.rows[i][b - 1]
+                if pt is not None:
+                    acc = _jac_add_affine(acc, pt, ops)
+            k >>= w
+            i += 1
+        return acc
+
+    def mul_many(self, scalars):
+        """[k0, k1, ...] -> affine points, one batch inversion total."""
+        jacs = [self.mul_jac(int(k)) for k in scalars]
+        return _jac_to_affine_batch(jacs, self.ops)
+
+
 def _pt_mul(pt, k: int, ops):
     if k < 0:
         return _pt_mul(_pt_neg(pt, ops), -k, ops)
@@ -566,8 +728,198 @@ def pairing(p: G1, q: G2):
 
 
 def pairing_product_is_one(pairs) -> bool:
-    """prod e(Pi, Qi) == 1 — the standard multi-pairing verification shape."""
+    """prod e(Pi, Qi) == 1 — the standard multi-pairing verification shape.
+
+    Shares ONE final exponentiation across all pairs (the Miller values
+    multiply before the (p^12-1)/r power), the textbook multi-pairing
+    optimization — the final exp is the single most expensive part of a
+    pure-Python pairing, so this is ~len(pairs)x cheaper than multiplying
+    :func:`pairing` results."""
     acc = F12_ONE
+    nontrivial = False
     for p, q in pairs:
-        acc = f12_mul(acc, pairing(p, q))
-    return acc == F12_ONE
+        if p.is_zero() or q.is_zero():
+            continue
+        q12 = _untwist(q.pt)
+        p12 = (fq_to_f12(p.pt[0]), fq_to_f12(p.pt[1]))
+        acc = f12_mul(acc, _miller(q12, p12, X_ABS))
+        nontrivial = True
+    if not nontrivial:
+        return True
+    return f12_pow(acc, _FINAL_EXP) == F12_ONE
+
+
+# --------------------------------------------------------------------------
+# native (C) backend bridge — tfhe_tpu/native/bls446.c implements the same
+# Jacobian formulas with a 7x64-limb Montgomery field; the Python code in
+# this module is the spec and the fallback (tests cross-check the two)
+# --------------------------------------------------------------------------
+
+def _native_lib():
+    try:
+        from ..native import get_bls_lib
+        return get_bls_lib()
+    except Exception:
+        return None
+
+
+def _pack_scalars(scalars) -> "np.ndarray":
+    import numpy as np
+
+    buf = b"".join((s % R).to_bytes(40, "little") for s in scalars)
+    return np.frombuffer(buf, dtype=np.uint64).reshape(len(scalars), 5).copy()
+
+
+def _g1_pack(pts) -> "np.ndarray":
+    import numpy as np
+
+    buf = b"".join(
+        (b"\x00" * 112 if p is None else
+         p[0].to_bytes(56, "little") + p[1].to_bytes(56, "little"))
+        for p in pts)
+    return np.frombuffer(buf, dtype=np.uint64).reshape(len(pts), 14).copy()
+
+
+def _g2_pack(pts) -> "np.ndarray":
+    import numpy as np
+
+    parts = []
+    for p in pts:
+        if p is None:
+            parts.append(b"\x00" * 224)
+        else:
+            (x0, x1), (y0, y1) = p
+            parts.append(b"".join(v.to_bytes(56, "little")
+                                  for v in (x0, x1, y0, y1)))
+    return np.frombuffer(b"".join(parts),
+                         dtype=np.uint64).reshape(len(pts), 28).copy()
+
+
+def _g1_unpack(row) -> tuple:
+    b = row.tobytes()
+    return (int.from_bytes(b[:56], "little"),
+            int.from_bytes(b[56:112], "little"))
+
+
+def _g2_unpack(row) -> tuple:
+    b = row.tobytes()
+    v = [int.from_bytes(b[i * 56:(i + 1) * 56], "little") for i in range(4)]
+    return ((v[0], v[1]), (v[2], v[3]))
+
+
+def _native_fixed_powers(cls, scalars, window: int):
+    import ctypes
+
+    import numpy as np
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    pre = "g1" if cls is G1 else "g2"
+    words2 = 14 if pre == "g1" else 28
+    pack = _g1_pack if pre == "g1" else _g2_pack
+    unpack = _g1_unpack if pre == "g1" else _g2_unpack
+    base = pack([cls.GEN])
+    ks = _pack_scalars(scalars)
+    n = len(scalars)
+    out = np.zeros((n, words2), dtype=np.uint64)
+    inf = np.zeros(n, dtype=np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    getattr(lib, f"{pre}_fixed_powers")(
+        base.ctypes.data_as(u64p), ks.ctypes.data_as(u64p),
+        ctypes.c_longlong(n), ctypes.c_int(window),
+        out.ctypes.data_as(u64p), inf.ctypes.data_as(u8p))
+    return [cls.zero() if inf[i] else cls(unpack(out[i])) for i in range(n)]
+
+
+def _native_msm(cls, pts, scalars):
+    import ctypes
+
+    import numpy as np
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    pre = "g1" if cls is G1 else "g2"
+    words2 = 14 if pre == "g1" else 28
+    pack = _g1_pack if pre == "g1" else _g2_pack
+    unpack = _g1_unpack if pre == "g1" else _g2_unpack
+    n = len(pts)
+    pbuf = pack(pts)
+    inf_in = np.array([1 if p is None else 0 for p in pts], dtype=np.uint8)
+    ks = _pack_scalars(scalars)
+    out = np.zeros(words2, dtype=np.uint64)
+    out_inf = np.zeros(1, dtype=np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    getattr(lib, f"{pre}_msm")(
+        pbuf.ctypes.data_as(u64p), inf_in.ctypes.data_as(u8p),
+        ks.ctypes.data_as(u64p), ctypes.c_longlong(n),
+        out.ctypes.data_as(u64p), out_inf.ctypes.data_as(u8p))
+    return cls.zero() if out_inf[0] else cls(unpack(out))
+
+
+def fixed_base_powers(cls, alpha: int, count: int, skip=frozenset(),
+                      window: int = 8):
+    """[alpha^1 * G, ..., alpha^count * G] for the group's generator, via
+    a windowed fixed-base table (one build + one batch inversion). The
+    CRS power lists are exactly this shape; 1-based indices in ``skip``
+    come back as ``cls.zero()`` (the punctured KZG slot)."""
+    scalars = []
+    cur = alpha % R
+    for j in range(1, count + 1):
+        scalars.append(0 if j in skip else cur)
+        cur = cur * alpha % R
+    native = _native_fixed_powers(cls, scalars, window)
+    if native is not None:
+        return native
+    tbl = _FixedBaseTable(cls.GEN, cls.OPS, bits=R.bit_length(),
+                          window=window)
+    aff = tbl.mul_many(scalars)
+    return [cls.zero() if a is None else cls(a) for a in aff]
+
+
+def group_sum(elements) -> "_GroupElement":
+    """Plain sum of group elements with Jacobian accumulation and a single
+    final inversion (the affine __add__ inverts per addition)."""
+    acc = None
+    cls = None
+    for e in elements:
+        if cls is None:
+            cls = type(e)
+        if e.pt is not None:
+            acc = _jac_add_affine(acc, e.pt, cls.OPS)
+    if cls is None:
+        raise ValueError("group_sum of an empty sequence")
+    if acc is None:
+        return cls.zero()
+    (aff,) = _jac_to_affine_batch([acc], cls.OPS)
+    return cls(aff)
+
+
+def msm(terms) -> "_GroupElement":
+    """sum(k_i * P_i) over (scalar, group-element) pairs via Pippenger.
+
+    All elements must be of one group (G1 or G2). Scalars are reduced
+    mod the group order; affine normalization happens once at the end."""
+    terms = list(terms)
+    cls = None
+    pts, ks = [], []
+    for k, p in terms:
+        if cls is None:
+            cls = type(p)
+        pts.append(p.pt)
+        ks.append(int(k) % R)
+    if cls is None:
+        raise ValueError("msm of an empty sequence")
+    if len(pts) >= 32:  # native pays off past the ctypes/packing overhead
+        native = _native_msm(cls, pts, ks)
+        if native is not None:
+            return native
+    ops = cls.OPS
+    j = _msm_pippenger(pts, ks, ops, bits=R.bit_length())
+    if j is None:
+        return cls.zero()
+    (aff,) = _jac_to_affine_batch([j], ops)
+    return cls(aff)

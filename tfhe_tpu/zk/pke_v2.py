@@ -32,7 +32,9 @@ import hashlib
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
-from .curve import G1, G2, R as ZP, pairing, f12_mul, f12_inv, F12_ONE
+from .curve import (G1, G2, R as ZP, pairing, f12_mul, f12_inv, F12_ONE,
+                    fixed_base_powers, group_sum, msm as curve_msm,
+                    pairing_product_is_one)
 from .four_squares import four_squares
 from .pke import (
     _compute_r1,
@@ -41,6 +43,7 @@ from .pke import (
     _ilog2,
     _ints_bytes,
     _msm_g1,
+    _poly_mul_mod,
     _scalars_bytes,
 )
 
@@ -126,20 +129,11 @@ class PkeV2Crs:
         crs = cls(d=d, k=k, b_inf=b_inf, q=q, t=t, pad_bits=pad_bits,
                   bound_type=bound_type, n=n, big_d=D,
                   b_bound_squared=bbs, m_bound=m)
-        g, g_hat = G1.generator(), G2.generator()
-        glist: List[G1] = [G1.zero()] * (2 * n + 1)
-        cur = alpha
-        for j in range(1, 2 * n + 1):
-            if j != n + 1:  # the punctured KZG slot (GroupElements::new)
-                glist[j] = cur * g
-            cur = (cur * alpha) % ZP
-        ghat: List[G2] = [G2.zero()] * (n + 1)
-        cur = alpha
-        for i in range(1, n + 1):
-            ghat[i] = cur * g_hat
-            cur = (cur * alpha) % ZP
-        crs.g_list = glist
-        crs.g_hat_list = ghat
+        # windowed fixed-base tables; the j = n+1 slot is the punctured
+        # KZG hole (GroupElements::new)
+        crs.g_list = [G1.zero()] + fixed_base_powers(
+            G1, alpha, 2 * n, skip=frozenset((n + 1,)))
+        crs.g_hat_list = [G2.zero()] + fixed_base_powers(G2, alpha, n)
         crs.sid = int.from_bytes(root.digest(96)[80:88], "little")
         crs.ds = root.digest(128)[96:]
         return crs
@@ -173,12 +167,11 @@ class PkeV2Proof:
 
 
 def _msm_g2(points: Sequence[G2], scalars: Sequence[int]) -> G2:
-    acc = G2.zero()
-    for p, s in zip(points, scalars):
-        s %= ZP
-        if s:
-            acc = acc + s * p
-    return acc
+    """Pippenger bucket MSM (curve.msm); was a per-term double-and-add."""
+    points = list(points)
+    if not points:
+        return G2.zero()
+    return curve_msm((s, p) for p, s in zip(points, scalars))
 
 
 def _hash_r_matrix(tag: bytes, chunks: Sequence[bytes], rows: int,
@@ -198,37 +191,60 @@ def _hash_r_matrix(tag: bytes, chunks: Sequence[bytes], rows: int,
 
 
 def _poly_mul_zp(a: List[int], b: List[int]) -> List[int]:
-    """Schoolbook product over Zp (lengths are test-scale)."""
-    out = [0] * (len(a) + len(b) - 1)
-    for i, ai in enumerate(a):
-        if ai:
-            for j, bj in enumerate(b):
-                if bj:
-                    out[i + j] += ai * bj
+    """Product over Zp (Kronecker substitution; see pke._poly_mul_mod)."""
+    return _poly_mul_mod(a, b, ZP)
+
+
+def _phi_r_cols(Rm: List[int], phi: List[int], cols: int) -> List[int]:
+    """All columns of phi.T R at once: out[j] = sum_i phi_i R[i, j].
+
+    One pass over the column-major R matrix (entries in {-1, 0, 1});
+    replaces the per-column 128-iteration closure that prove/verify used
+    to re-run for every j (~n calls x 128 = ~700k interpreted loops)."""
+    out = [0] * cols
+    for i in range(128):
+        ph = phi[i]
+        row = Rm[i::128]
+        for j, v in enumerate(row):
+            if v:
+                if v == 1:
+                    out[j] += ph
+                else:
+                    out[j] -= ph
     return [x % ZP for x in out]
 
 
 def _compute_a_theta_v2(crs: PkeV2Crs, theta: List[int], a, b_poly,
                         k: int, D: int) -> List[int]:
-    """a_theta = A~.T theta, length D (pke_v2/mod.rs:1617-1717)."""
+    """a_theta = A~.T theta, length D (pke_v2/mod.rs:1617-1717).
+
+    The two d-dimensional blocks are (nega)cyclic correlations, computed
+    as single Kronecker products instead of the O(d^2) double loop:
+
+    - rot(a).T theta1:  dot_i = sum_{j>=i} a_{j-i} th_j - sum_{j<i}
+      a_{d+j-i} th_j.  With P = rev(a) * theta1 (linear product,
+      rev(a)_i = a_{d-1-i}):  dot_i = P_{d-1+i} - P_{i-1}.
+    - phi(bar b) theta2:  dot_i = sum_{i+j<d} b_{d-1-i-j} th2_j
+      - sum_{i+j>=d} b_{2d-1-i-j} th2_j.  With Q = b * theta2:
+      dot_i = Q_{d-1-i} - Q_{2d-1-i}.
+    """
     d, t_eff = crs.d, crs.t_eff
     delta = crs.delta % ZP
     theta1, theta2 = theta[:d], theta[d:d + k]
     az = [x % ZP for x in a]
     bz = [x % ZP for x in b_poly]
+    P_ = _poly_mul_mod(az[::-1], theta1, ZP)
+    Q_ = _poly_mul_mod(bz, theta2, ZP) if k else []
+    lq = len(Q_)
     out = []
-    for i in range(d):  # rot(a).T theta1 + phi_{..}(bar b) theta2 block
-        dot = 0
-        for j in range(d):
-            if i <= j:
-                dot += az[j - i] * theta1[j]
-            else:
-                dot -= az[d + j - i] * theta1[j]
-        for j in range(k):
-            if i + j < d:
-                dot += bz[d - i - j - 1] * theta2[j]
-            else:
-                dot -= bz[2 * d - i - j - 1] * theta2[j]
+    for i in range(d):
+        dot = P_[d - 1 + i] - (P_[i - 1] if i else 0)
+        qi = d - 1 - i
+        if 0 <= qi < lq:
+            dot += Q_[qi]
+        qi = 2 * d - 1 - i
+        if qi < lq:
+            dot -= Q_[qi]
         out.append(dot % ZP)
     step = _ilog2(t_eff)
     for i in range(k):  # delta * g[log t].T theta2_i (ascending powers)
@@ -310,13 +326,11 @@ def prove(crs: PkeV2Crs, public, private, metadata: bytes = b"",
                    C_r_tilde.to_bytes()]
 
     Rm = _hash_r_matrix(crs.tag(b"R"), base_chunks, 128, 2 * (d + k) + 4)
-    Rf = lambda i, j: Rm[i + j * 128]
 
     w_R = []
     for i in range(128):
         acc = 0
-        for j, x in enumerate(w_full):
-            rij = Rf(i, j)
+        for x, rij in zip(w_full, Rm[i::128]):
             if rij == 1:
                 acc += x
             elif rij == -1:
@@ -339,10 +353,9 @@ def prove(crs: PkeV2Crs, public, private, metadata: bytes = b"",
     w_bin = w_tilde + w_R_bin
     assert len(w_bin) == L
 
-    C_hat_bin = gamma_bin * g_hat
-    for j, wb in enumerate(w_bin):
-        if wb:
-            C_hat_bin = C_hat_bin + gh[j + 1]
+    C_hat_bin = group_sum(
+        [gamma_bin * g_hat]
+        + [gh[j + 1] for j, wb in enumerate(w_bin) if wb])
 
     chunks = chunks + [C_hat_bin.to_bytes()]
     xi = _hash_to_scalars(crs.tag(b"xi"), chunks, 128)
@@ -394,15 +407,7 @@ def prove(crs: PkeV2Crs, public, private, metadata: bytes = b"",
         if w_bin[j]:
             poly_0_rhs[j + 1] = 1
 
-    def phi_R_col(j):
-        acc = 0
-        for i in range(128):
-            rij = Rf(i, j)
-            if rij == 1:
-                acc += phi[i]
-            elif rij == -1:
-                acc -= phi[i]
-        return acc % ZP
+    phi_R_col = _phi_r_cols(Rm, phi, 2 * (d + k) + 4).__getitem__
 
     poly_1_lhs = [0] * (1 + n)
     poly_1_lhs[0] = delta_l * gamma_e % ZP
@@ -583,7 +588,6 @@ def verify(proof: PkeV2Proof, crs: PkeV2Crs, public,
     base_chunks = [metadata, xb, proof.C_hat_e.to_bytes(),
                    proof.C_e.to_bytes(), proof.C_r_tilde.to_bytes()]
     Rm = _hash_r_matrix(crs.tag(b"R"), base_chunks, 128, 2 * (d + k) + 4)
-    Rf = lambda i, j: Rm[i + j * 128]
 
     chunks = base_chunks + [proof.C_R.to_bytes()]
     phi = _hash_to_scalars(crs.tag(b"phi"), chunks, 128)
@@ -602,15 +606,7 @@ def verify(proof: PkeV2Proof, crs: PkeV2Crs, public,
         deltas
     delta_theta_q = delta_theta * (q % ZP) % ZP
 
-    def phi_R_col(j):
-        acc = 0
-        for i in range(128):
-            rij = Rf(i, j)
-            if rij == 1:
-                acc += phi[i]
-            elif rij == -1:
-                acc -= phi[i]
-        return acc % ZP
+    phi_R_col = _phi_r_cols(Rm, phi, 2 * (d + k) + 4).__getitem__
 
     def xi_dec_coeff(j):
         blk, pos = divmod(j, mb)
@@ -672,8 +668,7 @@ def verify(proof: PkeV2Proof, crs: PkeV2Crs, public,
                     [(delta_r * phi[j] + delta_dec * xi[j]) % ZP
                      for j in range(128)])
     const = (delta_theta * t_theta + delta_l * (b_squared % ZP)) % ZP
-    lhs = F12_ONE
-    for p1, p2 in [
+    if not pairing_product_is_one([
         (delta_y * proof.C_y + proof.C_h1, proof.C_hat_bin),
         (delta_l * proof.C_e + proof.C_h2, proof.C_hat_e),
         (proof.C_r_tilde, proof.C_hat_h3),
@@ -682,21 +677,16 @@ def verify(proof: PkeV2Proof, crs: PkeV2Crs, public,
         (-(delta_eq * proof.C_y), proof.C_hat_t),
         (-(const * gl[1]), gh[n]),
         (-(proof.pi), g_hat),
-    ]:
-        lhs = f12_mul(lhs, pairing(p1, p2))
-    if lhs != F12_ONE:
+    ]):
         return False
 
     # equation (51): the batched KZG opening at z
-    lhs = F12_ONE
     c_hat = chi2 * proof.C_hat_t + chi3 * proof.C_hat_h3 \
         + chi4 * proof.C_hat_w
     c_hat = c_hat - ((p_t * chi2 + p_h3 * chi3 + p_omega * chi4) % ZP) * g_hat
-    for p1, p2 in [
+    return pairing_product_is_one([
         (proof.C_h1 + chi * proof.C_h2 - ((p_h1 + chi * p_h2) % ZP) * g,
          g_hat),
         (g, c_hat),
         (-(proof.pi_kzg), gh[1] + (-(z % ZP)) * g_hat),
-    ]:
-        lhs = f12_mul(lhs, pairing(p1, p2))
-    return lhs == F12_ONE
+    ])
