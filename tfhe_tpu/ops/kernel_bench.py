@@ -278,8 +278,11 @@ def bench_step_v6(params=None, batch: int = 1024, batch_tile: int = 16,
     G = n // 128
     rng = np.random.default_rng(7)
 
+    # acc32=True: time the SHIPPED single-plane accumulator kernel (the
+    # round-3 version of this bench built the acc64 variant and its
+    # two-point delta degenerated to <= 0 under tunnel jitter)
     step_fn = pk._build_step_fn_v4(n, 2, base_log, levels, R, batch_tile,
-                                   unroll, bnf2=True)
+                                   unroll, acc32=True, bnf2=True)
     tabs4 = pk._get_tables_v4(n, 2, base_log)
     bsk_std = rng.integers(0, 1 << 64, size=(unroll, levels, R, R, n),
                            dtype=np.uint64)
@@ -290,23 +293,19 @@ def bench_step_v6(params=None, batch: int = 1024, batch_tile: int = 16,
                                  dtype=np.uint32))
     hi = jnp.asarray(rng.integers(0, 1 << 32, size=(R, G, batch, 128),
                                   dtype=np.uint32))
-    lo = jnp.asarray(rng.integers(0, 1 << 32, size=(R, G, batch, 128),
-                                  dtype=np.uint32))
 
     def make(n_steps):
-        def many(hi, lo):
+        def many(hi):
             def body(carry, _):
-                h, l = carry
-                h, l = step_fn(a, bsk_step, h, l)
-                return (h, l), None
+                return step_fn(a, bsk_step, carry), None
 
-            (h, l), _ = lax.scan(body, (hi, lo), None, length=n_steps)
-            return h, l
+            h, _ = lax.scan(body, hi, None, length=n_steps)
+            return h
 
         return jax.jit(many)
 
-    t_lo = _time_fn(make(lo_steps), hi, lo)
-    t_hi = _time_fn(make(hi_steps), hi, lo)
+    t_lo = _time_fn(make(lo_steps), hi)
+    t_hi = _time_fn(make(hi_steps), hi)
     sec_per_ct_step = max(t_hi - t_lo, 1e-12) / (
         (hi_steps - lo_steps) * unroll * batch)
     pbs_s = 1.0 / (sec_per_ct_step * p.lwe_dimension)

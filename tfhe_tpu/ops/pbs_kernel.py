@@ -1109,6 +1109,9 @@ class _KernelTablesV4:
         gw_i = [np.repeat(a[..., None], 128, axis=-1) for a in gw_i]
 
         self.fwd_w8 = np.stack(fwd_w8)          # [P, nl_in*128, 512] i8
+        # column-concat across primes: ONE forward matmul computes every
+        # prime's lane DFT from the shared (prime-independent) digit limbs
+        self.fwd_w8_cat = np.concatenate(fwd_w8, axis=1)  # [nl*128, P*512]
         self.inv_w8 = np.stack(inv_w8)          # [P, 512, 512] i8
         self.inv_bias = np.stack(inv_bias).astype(np.uint32)   # [P, 128]
         self.tw = np.stack(t_tw).astype(np.uint32)    # [P, 5, G, 128]
@@ -1219,6 +1222,14 @@ def _fwd_ntt_v4(L, pi, t4c, p, p2, bt, G):
     """
     U = lax.dot_general(L, t4c["fwd_w8"][pi], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
+    return _fwd_tail_v4(U, pi, t4c, p, p2, bt, G)
+
+
+def _fwd_tail_v4(U, pi, t4c, p, p2, bt, G):
+    """Twiddle scaling + group-axis DIF stages applied to the raw int32
+    lane-DFT matmul output ``U`` [G*Bt, 512] for one prime (the post-dot
+    half of :func:`_fwd_ntt_v4`, split out so a caller can fuse several
+    polynomials/primes into one big matmul and feed per-prime slices)."""
     V0u, V1u = _pair_fold_u(U)
     tw = t4c["tw"][pi]  # [5, G, 128]
     V0u = V0u.reshape(G, bt, 128)
@@ -1356,7 +1367,8 @@ def _negacyclic_rot_v4_hi(hi, a_bits, lane_idx, G, log_2n):
 def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                          tabs4: _KernelTablesV4, unroll: int = 1,
                          acc32: bool = False, ablate: str = "",
-                         garner_chunk: int = 0, bnf2: bool = False):
+                         garner_chunk: int = 0, bnf2: bool = False,
+                         stacked: bool = False):
     log_2n = n.bit_length()
     G = tabs4.G
     P = num_primes
@@ -1383,6 +1395,91 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
     # _build_step_fn_v4 cache key — a leaked env var can no longer silently
     # poison a cached kernel; blind_rotate_pallas warns loudly when active)
     abl = frozenset(filter(None, ablate.split(",")))
+
+    def garner_c(m):
+        """Garner digits then mixed-radix Horner to a centered u64 pair.
+
+        value = v0 + p0*(v1 + p1*(v2 + p2*v3)) mod 2^64, minus the full
+        prime product when the top digit says the centered value is
+        negative. Horner needs one u32 mul_hi per level (vs one per
+        prime for the prefix-product form) and keeps only the running
+        pair live.
+        """
+        v = [m[0]]
+        for i in range(1, P):
+            pi_p = U32(primes[i])
+            acc_g = v[i - 1]
+            for j in range(i - 2, -1, -1):
+                acc_g = v[j] + _shoup(
+                    acc_g, U32(primes[j]), U32(pj_sh[i][j]), pi_p)
+            diff = U32(3 * primes[i]) + m[i] - acc_g
+            vi = _shoup(diff, U32(garner_inv[i - 1]),
+                        U32(garner_inv_sh[i - 1]), pi_p)
+            v.append(_condsub(vi, pi_p))
+        pos_hi = jnp.zeros_like(v[0])
+        pos_lo = v[P - 1]
+        for i in range(P - 2, -1, -1):
+            pc = U32(primes[i])
+            nlo = pos_lo * pc
+            nhi = _mul_hi(pos_lo, pc) + pos_hi * pc
+            pos_lo = nlo + v[i]
+            pos_hi = nhi + (pos_lo < nlo).astype(U32)
+        neg_hi, neg_lo = _sub64(
+            pos_hi, pos_lo,
+            U32((full_prod >> 32) & 0xFFFFFFFF),
+            U32(full_prod & 0xFFFFFFFF))
+        sign = v[P - 1] > U32(primes[P - 1] // 2)
+        return (jnp.where(sign, neg_hi, pos_hi),
+                jnp.where(sign, neg_lo, pos_lo))
+
+    def bnf2_c(m):
+        """v6 recombination: 2-term CRT merge to x in [0, q') then the
+        fixed-point switch back to the 2^64 torus (spec: ops/bnf2.py
+        ``crt2_merge`` + ``qp_to_torus``, mirrored bit for bit)."""
+        from . import bnf2 as b2
+
+        p1 = U32(b2.P1)
+        # v1 = (r1 - r0) * inv01 mod p1  (r0 < p0 < 2*p1: diff < 3p1)
+        diff = p1 + p1 + m[1] - m[0]
+        v1 = _condsub(_shoup(diff, U32(b2.INV01), U32(b2.INV01_SH), p1),
+                      p1)
+        # x = r0 + p0 * v1 < q' < 2^60
+        x_hi, x_lo = _mul_hi_lo(v1, U32(b2.P0))
+        nlo = x_lo + m[0]
+        x_hi = x_hi + (nlo < x_lo).astype(U32)
+        x_lo = nlo
+        # t = (x<<4) + ((x0*G1 + x1*G0) >> 28) + ((x1*G1) << 4) mod 2^64
+        b_hi, b_lo = _mul_hi_lo(x_lo, U32(b2.G1))
+        c_hi, c_lo = _mul_hi_lo(x_hi, U32(b2.G0))
+        d_hi, d_lo = _mul_hi_lo(x_hi, U32(b2.G1))
+        s_lo = b_lo + c_lo
+        s_hi = b_hi + c_hi + (s_lo < b_lo).astype(U32)  # s < 2^61
+        r_lo = (s_lo >> U32(28)) | (s_hi << U32(4))
+        r_hi = s_hi >> U32(28)
+        u_hi, u_lo = _add64(r_hi, r_lo,
+                            (d_hi << U32(4)) | (d_lo >> U32(28)),
+                            d_lo << U32(4))
+        return _add64(u_hi, u_lo,
+                      (x_hi << U32(4)) | (x_lo >> U32(28)),
+                      x_lo << U32(4))
+
+    def bnf2_c32(m):
+        """acc32 v6 tail: round(CRT(m0, m1) * 2^32 / q') directly as
+        ONE u32 plane (spec: ops/bnf2.py ``qp_to_torus32``, mirrored
+        bit for bit) — the full 64-bit merge + switch-back collapses
+        to one Shoup multiply and one widening multiply per element."""
+        from . import bnf2 as b2
+
+        p1 = U32(b2.P1)
+        # v1 = (r1 + 2*P1 - r0) * inv01 mod p1 (diff < 3*P1 < 2^32)
+        diff = p1 + p1 + m[1] - m[0]
+        v1 = _condsub(_shoup(diff, U32(b2.INV01), U32(b2.INV01_SH), p1),
+                      p1)
+        s_hi, s_lo = _mul_hi_lo(v1, U32(b2.C1T))  # v1*C1T < 2^60
+        t1 = (s_hi << U32(4)) | (s_lo >> U32(28))
+        return t1 + (m[0] >> U32(28)) + U32(b2.T32_BIAS)
+
+    recomb = bnf2_c if bnf2 else garner_c
 
     def one_step(hi, lo, a_bits, bsk, t4c, lane_idx):
         """hi/lo: lists of R [G, Bt, 128]; bsk: [2, P, l*R, R, G, 128].
@@ -1448,90 +1545,6 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                     res_p.append(_inv_ntt_v4(acc_m, pi, t4c, p, p2, bt, G))
             residues.append(res_p)
 
-        def garner_c(m):
-            """Garner digits then mixed-radix Horner to a centered u64 pair.
-
-            value = v0 + p0*(v1 + p1*(v2 + p2*v3)) mod 2^64, minus the full
-            prime product when the top digit says the centered value is
-            negative. Horner needs one u32 mul_hi per level (vs one per
-            prime for the prefix-product form) and keeps only the running
-            pair live.
-            """
-            v = [m[0]]
-            for i in range(1, P):
-                pi_p = U32(primes[i])
-                acc_g = v[i - 1]
-                for j in range(i - 2, -1, -1):
-                    acc_g = v[j] + _shoup(
-                        acc_g, U32(primes[j]), U32(pj_sh[i][j]), pi_p)
-                diff = U32(3 * primes[i]) + m[i] - acc_g
-                vi = _shoup(diff, U32(garner_inv[i - 1]),
-                            U32(garner_inv_sh[i - 1]), pi_p)
-                v.append(_condsub(vi, pi_p))
-            pos_hi = jnp.zeros_like(v[0])
-            pos_lo = v[P - 1]
-            for i in range(P - 2, -1, -1):
-                pc = U32(primes[i])
-                nlo = pos_lo * pc
-                nhi = _mul_hi(pos_lo, pc) + pos_hi * pc
-                pos_lo = nlo + v[i]
-                pos_hi = nhi + (pos_lo < nlo).astype(U32)
-            neg_hi, neg_lo = _sub64(
-                pos_hi, pos_lo,
-                U32((full_prod >> 32) & 0xFFFFFFFF),
-                U32(full_prod & 0xFFFFFFFF))
-            sign = v[P - 1] > U32(primes[P - 1] // 2)
-            return (jnp.where(sign, neg_hi, pos_hi),
-                    jnp.where(sign, neg_lo, pos_lo))
-
-        def bnf2_c(m):
-            """v6 recombination: 2-term CRT merge to x in [0, q') then the
-            fixed-point switch back to the 2^64 torus (spec: ops/bnf2.py
-            ``crt2_merge`` + ``qp_to_torus``, mirrored bit for bit)."""
-            from . import bnf2 as b2
-
-            p1 = U32(b2.P1)
-            # v1 = (r1 - r0) * inv01 mod p1  (r0 < p0 < 2*p1: diff < 3p1)
-            diff = p1 + p1 + m[1] - m[0]
-            v1 = _condsub(_shoup(diff, U32(b2.INV01), U32(b2.INV01_SH), p1),
-                          p1)
-            # x = r0 + p0 * v1 < q' < 2^60
-            x_hi, x_lo = _mul_hi_lo(v1, U32(b2.P0))
-            nlo = x_lo + m[0]
-            x_hi = x_hi + (nlo < x_lo).astype(U32)
-            x_lo = nlo
-            # t = (x<<4) + ((x0*G1 + x1*G0) >> 28) + ((x1*G1) << 4) mod 2^64
-            b_hi, b_lo = _mul_hi_lo(x_lo, U32(b2.G1))
-            c_hi, c_lo = _mul_hi_lo(x_hi, U32(b2.G0))
-            d_hi, d_lo = _mul_hi_lo(x_hi, U32(b2.G1))
-            s_lo = b_lo + c_lo
-            s_hi = b_hi + c_hi + (s_lo < b_lo).astype(U32)  # s < 2^61
-            r_lo = (s_lo >> U32(28)) | (s_hi << U32(4))
-            r_hi = s_hi >> U32(28)
-            u_hi, u_lo = _add64(r_hi, r_lo,
-                                (d_hi << U32(4)) | (d_lo >> U32(28)),
-                                d_lo << U32(4))
-            return _add64(u_hi, u_lo,
-                          (x_hi << U32(4)) | (x_lo >> U32(28)),
-                          x_lo << U32(4))
-
-        def bnf2_c32(m):
-            """acc32 v6 tail: round(CRT(m0, m1) * 2^32 / q') directly as
-            ONE u32 plane (spec: ops/bnf2.py ``qp_to_torus32``, mirrored
-            bit for bit) — the full 64-bit merge + switch-back collapses
-            to one Shoup multiply and one widening multiply per element."""
-            from . import bnf2 as b2
-
-            p1 = U32(b2.P1)
-            # v1 = (r1 + 2*P1 - r0) * inv01 mod p1 (diff < 3*P1 < 2^32)
-            diff = p1 + p1 + m[1] - m[0]
-            v1 = _condsub(_shoup(diff, U32(b2.INV01), U32(b2.INV01_SH), p1),
-                          p1)
-            s_hi, s_lo = _mul_hi_lo(v1, U32(b2.C1T))  # v1*C1T < 2^60
-            t1 = (s_hi << U32(4)) | (s_lo >> U32(28))
-            return t1 + (m[0] >> U32(28)) + U32(b2.T32_BIAS)
-
-        recomb = bnf2_c if bnf2 else garner_c
 
         # live-register relief: optionally run the recombination in G-slices
         # so the chain's ~10 concurrently-live [G, Bt, 128] tensors shrink
@@ -1572,6 +1585,93 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                 hi[c], lo[c] = _add64(hi[c], lo[c], ehi, elo)
         return hi, lo
 
+    def one_step_stacked(hi, a_bits, bsk, t4c, lane_idx):
+        """acc32 + bnf2 fast path, bit-exact with :func:`one_step`.
+
+        Every per-polynomial VPU stage (rotate, decompose, limb split,
+        forward tail, inverse, recombination) runs ONCE on a single
+        sublane-stacked tensor [G, (l*)R*Bt, 128] instead of R (or l*R)
+        times on [G, Bt, 128] slabs, and the 4 small forward matmuls fuse
+        into one [G*l*R*Bt, nl*128] x [nl*128, P*512] int8 dot (the digit
+        limbs are prime-independent; ``fwd_w8_cat``), the 4 inverse ones
+        into 2 per-prime row-stacked dots. Stacking is pure layout — each
+        element sees the identical op sequence, so kernel-vs-oracle
+        bit-exactness is untouched. Measured: the unstacked step spent
+        ~36% of its time in recombination/overheads (ABLATE_V6_r04.jsonl);
+        fewer, larger ops cut Mosaic dispatch and register pressure."""
+        bt = hi[0].shape[1]
+        H = jnp.concatenate(hi, axis=1)  # [G, R*bt, 128]
+        aR = jnp.concatenate([a_bits] * R, axis=1)
+        if "rot" in abl:
+            dH = H
+        else:
+            rH = _negacyclic_rot_v4_hi(H, aR, lane_idx, G, log_2n)
+            dH = rH - H
+        if "decomp" in abl:
+            digs = [dH.astype(I32)] * levels
+        else:
+            digs = _decompose_u32(dH, dH, base_log, levels)
+        # [G, levels*R*bt, 128]; block j = lev*R + r matches the bsk j axis
+        DIG = digs[0] if levels == 1 else jnp.concatenate(digs, axis=1)
+        btf = levels * R * bt
+        if "split" in abl:
+            L = jnp.concatenate(
+                [(DIG.reshape(G * btf, 128) & I32(127)).astype(jnp.int8)]
+                * tabs4.nl_in, axis=-1)
+        else:
+            L = _split_digits_i8(DIG, tabs4.nl_in, tabs4.in_offset)
+        dhat = []
+        if "fwd" in abl:
+            for pi in range(P):
+                dhat.append((L[:, :128].astype(I32) & I32(0xFFFF))
+                            .astype(U32).reshape(G, btf, 128))
+        else:
+            U = lax.dot_general(L, t4c["fwd_w8"][:],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+            for pi in range(P):
+                p = U32(primes[pi])
+                dhat.append(_fwd_tail_v4(
+                    U[:, pi * 512:(pi + 1) * 512], pi, t4c, p,
+                    U32(2 * primes[pi]), btf, G))
+        residues = []
+        for pi in range(P):
+            p = U32(primes[pi])
+            p2 = U32(2 * primes[pi])
+            outs = []
+            for c in range(R):
+                if "mac" in abl:
+                    acc_m = lax.slice_in_dim(dhat[pi], 0, bt, axis=1)
+                else:
+                    acc_m = None
+                    for j in range(levels * R):
+                        dj = lax.slice_in_dim(dhat[pi], j * bt,
+                                              (j + 1) * bt, axis=1)
+                        g = bsk[0, pi, j, c][:, None, :]
+                        gsh = bsk[1, pi, j, c][:, None, :]
+                        term = _shoup(dj, g, gsh, p)
+                        acc_m = (term if acc_m is None
+                                 else _condsub(acc_m + term, p2))
+                outs.append(acc_m)
+            Y = jnp.concatenate(outs, axis=1)  # [G, R*bt, 128]
+            if "inv" in abl:
+                residues.append(_condsub(Y, p))
+            else:
+                residues.append(_inv_ntt_v4(Y, pi, t4c, p, p2, R * bt, G))
+        if "garner" in abl:
+            t32 = residues[0]
+        else:
+            gch = garner_chunk
+            if 0 < gch < G:
+                t32 = jnp.concatenate(
+                    [bnf2_c32([x[g0:g0 + gch] for x in residues])
+                     for g0 in range(0, G, gch)], axis=0)
+            else:
+                t32 = bnf2_c32(residues)
+        H = H + t32
+        return [lax.slice_in_dim(H, c * bt, (c + 1) * bt, axis=1)
+                for c in range(R)]
+
     def _t4c(fw_ref, iw_ref, tw_ref, ti_ref, gf_ref, gi_ref, ib_ref):
         return {
             "fwd_w8": fw_ref, "inv_w8": iw_ref,
@@ -1600,7 +1700,13 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
         lane_idx = lax.broadcasted_iota(U32, (1, 1, 128), 2)
         hi = [acc_ref[r] for r in range(R)]
         for u in range(unroll):
-            hi, _ = one_step(hi, None, a_ref[u], bsk_ref[u], t4c, lane_idx)
+            if stacked:
+                # stacked path (fw_ref holds tabs4.fwd_w8_cat)
+                hi = one_step_stacked(hi, a_ref[u], bsk_ref[u], t4c,
+                                      lane_idx)
+            else:
+                hi, _ = one_step(hi, None, a_ref[u], bsk_ref[u], t4c,
+                                 lane_idx)
         for c in range(R):
             out_ref[c] = hi[c]
 
@@ -1621,7 +1727,7 @@ class _DotRef:
 @functools.lru_cache(maxsize=None)
 def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
                       unroll=1, acc32=False, ablate="", garner_chunk=0,
-                      bnf2=False):
+                      bnf2=False, stacked=False):
     """fn(a_ms[U,1,B,1], bsk_step[U,2,P,l*R,R,G,128], acc_hi, acc_lo)
     -> (acc_hi, acc_lo), accs u32[R, G, B, 128] in group-leading transposed
     layout. acc32: single-plane accumulator (acc_u64 = hi * 2^32);
@@ -1631,10 +1737,14 @@ def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
     tabs4 = _get_tables_v4(n, num_primes, base_log)
     kernel = _make_step_kernel_v4(n, num_primes, base_log, levels, R, tabs4,
                                   unroll=unroll, acc32=acc32, ablate=ablate,
-                                  garner_chunk=garner_chunk, bnf2=bnf2)
+                                  garner_chunk=garner_chunk, bnf2=bnf2,
+                                  stacked=stacked)
     P = num_primes
     G = tabs4.G
-    consts = [tabs4.fwd_w8, tabs4.inv_w8, tabs4.tw, tabs4.tw_inv,
+    # the stacked v6 path consumes the column-concatenated forward matrix
+    # through the same const slot ([:] load instead of [pi] indexing)
+    fwd_mat = tabs4.fwd_w8_cat if stacked else tabs4.fwd_w8
+    consts = [fwd_mat, tabs4.inv_w8, tabs4.tw, tabs4.tw_inv,
               tabs4.gw_fwd, tabs4.gw_inv, tabs4.inv_bias]
 
     def wrapped_kernel(a_ref, bsk_ref, fw_ref, iw_ref, *rest):
@@ -1794,6 +1904,14 @@ def blind_rotate_pallas(
     # ("unsupported shape cast"); the MXU variant is for production sizes
     use_mxu = variant == "v3" and n >= 2048 and n % 128 == 0
     unroll = int(os.environ.get("TFHE_UNROLL", unroll))
+    # Opt-in sublane-stacked v6 step (one VPU pass per stage, 3 fused
+    # matmuls instead of 8). Measured 0.730 vs 0.751 us/ct-step at Bt=32
+    # (its best tile; ABLATE_V6_r04 era probes) but its Mosaic compile is
+    # 2-3x slower and a cold-cache bench can exceed driver timeouts, so
+    # the 3% stays opt-in until the compile cost is understood.
+    stacked = bool(int(os.environ.get("TFHE_V6_STACKED", "0"))) and bnf2
+    if stacked and batch_tile == 16:
+        batch_tile = 32
     batch_tile = int(os.environ.get("TFHE_BATCH_TILE", batch_tile))
 
     acc = monomial_div(lut, msed_body[..., None])  # u64 [B, R, N]
@@ -1852,7 +1970,8 @@ def blind_rotate_pallas(
         gch = int(os.environ.get("TFHE_V4_GARNER_CHUNK", "0") or 0)
         step_fn = _build_step_fn_v4(n, P, base_log, levels, R, batch_tile,
                                     unroll, acc32=use_acc32, ablate=ablate,
-                                    garner_chunk=gch, bnf2=bnf2)
+                                    garner_chunk=gch, bnf2=bnf2,
+                                    stacked=stacked and use_acc32)
     else:
         step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile,
                                  unroll, use_v2=use_v2, use_mxu=use_mxu)
