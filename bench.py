@@ -139,48 +139,81 @@ def _append_history(record: dict) -> None:
 
 
 def integer_main():
-    """Batched FheUint64 add/mul throughput (bench_integer analog;
-    reference latencies: add 109/8.97/8.62 ms, mul 402/31.9/122 ms on
-    CPU/8xH100/V80 — BASELINE.md). The TPU story is throughput: every
-    radix op is batched over independent integers (block axis = batch
-    axis), so B adds cost one carry-propagation sweep of B*32 blocks."""
-    import jax
+    """FheUint64 op benchmarks against BASELINE.md's five rows
+    (add 109/8.97/8.62 ms, mul 402/31.9/122 ms, div 5.8s/502/925 ms,
+    bitand 22.7/2.0/3.08 ms, eq 81.4/7.29/6.98 ms on CPU/8xH100/V80).
 
-    from tfhe_tpu.integer.radix import ClientKey, ServerKey
+    Two axes per op:
+      - throughput: batch B independent integers (the TPU story — every
+        radix op is batched over the block axis, so B adds cost one
+        carry-propagation sweep of B*32 blocks)
+      - latency: the SAME op at batch 1 (the reference's metric)
+
+    ``bench.py --integer [B] [ops...]``; rows go to BENCH_HISTORY.jsonl.
+    Timing fetches one output element each iteration (block_until_ready
+    does not force execution under the axon tunnel — PERF_NOTES.md)."""
+    import jax  # noqa: F401
+
+    from tfhe_tpu.integer.radix import BooleanBlock, ClientKey, ServerKey
     from tfhe_tpu.keycache import get_shortint_keys
     from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
 
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    only = set(sys.argv[3:])
     sck, ssk = get_shortint_keys(P, seed=42)
     ck = ClientKey(sck)
     sk = ServerKey(ssk)
-    rng = np.random.default_rng(1)
-    xs = rng.integers(0, 1 << 64, B, dtype=np.uint64)
-    ys = rng.integers(0, 1 << 64, B, dtype=np.uint64)
-    a = ck.encrypt_radix(xs, num_blocks=32)
-    b = ck.encrypt_radix(ys, num_blocks=32)
 
-    for name, fn, oracle in [
+    def fetch(out):
+        np.asarray(out.ct.reshape(-1)[0])  # force execution through the tunnel
+
+    def dec(out, xs, ys, oracle, name):
+        if isinstance(out, BooleanBlock):
+            got = sk.decrypt_bool(ck, out)
+            want = oracle(xs, ys)
+        else:
+            got = np.asarray(ck.decrypt_radix(out), dtype=np.uint64)
+            with np.errstate(over="ignore", divide="ignore"):
+                want = oracle(xs, ys)
+        assert np.array_equal(got, want), f"FheUint64 {name} mismatch"
+
+    ops = [
         ("add", sk.add, lambda x, y: x + y),
         ("mul", sk.mul, lambda x, y: x * y),
-    ]:
-        out = fn(a, b)  # compile + correctness gate
-        jax.block_until_ready(out.ct)
-        with np.errstate(over="ignore"):
-            want = oracle(xs, ys)
-        got = np.asarray(ck.decrypt_radix(out), dtype=np.uint64)
-        assert np.array_equal(got, want), f"FheUint64 {name} mismatch"
-        iters = 2
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(a, b)
-            jax.block_until_ready(out.ct)
-        dt = (time.perf_counter() - t0) / iters
-        print(json.dumps({
-            "metric": f"fheuint64_{name}_throughput",
-            "value": round(B / dt, 2), "unit": "ops/s", "batch": B,
-            "latency_ms": round(dt * 1e3, 1),
-        }))
+        ("bitand", sk.bitand, lambda x, y: x & y),
+        ("eq", sk.eq, lambda x, y: x == y),
+        ("div", sk.div, lambda x, y: x // y),
+    ]
+    rng = np.random.default_rng(1)
+    for batch, kind in [(B, "throughput"), (1, "latency")]:
+        xs = rng.integers(0, 1 << 64, batch, dtype=np.uint64)
+        ys = rng.integers(1, 1 << 64, batch, dtype=np.uint64)  # den != 0
+        a = ck.encrypt_radix(xs, num_blocks=32)
+        b = ck.encrypt_radix(ys, num_blocks=32)
+        for name, fn, oracle in ops:
+            if only and name not in only:
+                continue
+            out = fn(a, b)  # compile + correctness gate
+            fetch(out)
+            dec(out, xs, ys, oracle, name)
+            iters = 1 if name == "div" else (2 if kind == "throughput" else 3)
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                out = fn(a, b)
+                fetch(out)
+                times.append(time.perf_counter() - t0)
+            dt = min(times)
+            record = {
+                "metric": f"fheuint64_{name}_{kind}",
+                "value": round(batch / dt, 2) if kind == "throughput"
+                else round(dt * 1e3, 2),
+                "unit": "ops/s" if kind == "throughput" else "ms",
+                "batch": batch,
+                "latency_ms": round(dt * 1e3, 1),
+            }
+            print(json.dumps(record), flush=True)
+            _append_history(record)
 
 
 def multibit_main():

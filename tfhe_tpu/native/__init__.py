@@ -21,15 +21,31 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(src: str, so: str) -> bool:
+    """Compile `src` -> `so` atomically (temp file + rename) so a concurrent
+    process can never dlopen a partially written .so."""
+    tmp = f"{so}.tmp.{os.getpid()}"
     try:
         subprocess.run(
-            ["cc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, src],
             check=True, capture_output=True,
         )
+        os.rename(tmp, so)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
+
+
+def _needs_build(src: str, so: str) -> bool:
+    """True if `so` is absent or staler than an *existing* source file.
+    A packaged install may ship only the .so; never raise on a missing src."""
+    if not os.path.exists(so):
+        return os.path.exists(src)
+    return os.path.exists(src) and os.path.getmtime(so) < os.path.getmtime(src)
 
 
 def get_lib():
@@ -38,9 +54,11 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
+    if _needs_build(_SRC, _SO):
+        if not _build(_SRC, _SO) and not os.path.exists(_SO):
             return None
+    if not os.path.exists(_SO):
+        return None
     try:
         lib = ctypes.CDLL(_SO)
         lib.aes128_ctr_stream.argtypes = [

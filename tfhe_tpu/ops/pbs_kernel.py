@@ -1109,9 +1109,7 @@ class _KernelTablesV4:
         gw_i = [np.repeat(a[..., None], 128, axis=-1) for a in gw_i]
 
         self.fwd_w8 = np.stack(fwd_w8)          # [P, nl_in*128, 512] i8
-        # column-concat across primes: ONE forward matmul computes every
-        # prime's lane DFT from the shared (prime-independent) digit limbs
-        self.fwd_w8_cat = np.concatenate(fwd_w8, axis=1)  # [nl*128, P*512]
+        self._fwd_w8_cat = None  # built on first use (stacked path only)
         self.inv_w8 = np.stack(inv_w8)          # [P, 512, 512] i8
         self.inv_bias = np.stack(inv_bias).astype(np.uint32)   # [P, 128]
         self.tw = np.stack(t_tw).astype(np.uint32)    # [P, 5, G, 128]
@@ -1134,6 +1132,15 @@ class _KernelTablesV4:
              for g in range(G)])
         freq_v4 = (np.arange(128)[None, :] + 128 * brg[:, None]).reshape(-1)
         self.perm_from_plan = plan_pos_of_freq[freq_v4]  # [G*128]
+
+    @property
+    def fwd_w8_cat(self):
+        """Column-concat across primes: ONE forward matmul computes every
+        prime's lane DFT from the shared (prime-independent) digit limbs.
+        Lazy: only the opt-in TFHE_V6_STACKED path consumes it."""
+        if self._fwd_w8_cat is None:
+            self._fwd_w8_cat = np.concatenate(list(self.fwd_w8), axis=1)
+        return self._fwd_w8_cat
 
 
 def _shoup_obj(tbl, p: int) -> np.ndarray:
@@ -1734,6 +1741,11 @@ def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
     fn(a_ms, bsk_step, acc) -> acc. ``ablate``/``garner_chunk`` are part of
     the cache key (bench-only; see _make_step_kernel_v4). ``bnf2``: the
     2-prime BNF recombination tail (v6, ops/bnf2.py spec)."""
+    # the stacked kernel is written for the single-plane accumulator only;
+    # feeding fwd_w8_cat to the two-plane kernel's per-prime indexing would
+    # be a runtime shape mismatch — fail loudly at build time instead
+    assert not stacked or (acc32 and bnf2), \
+        "stacked=True requires acc32=True and bnf2=True"
     tabs4 = _get_tables_v4(n, num_primes, base_log)
     kernel = _make_step_kernel_v4(n, num_primes, base_log, levels, R, tabs4,
                                   unroll=unroll, acc32=acc32, ablate=ablate,

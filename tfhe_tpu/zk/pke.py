@@ -32,8 +32,7 @@ import hashlib
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
-from .curve import (F12_ONE, Fr, G1, G2, R, f12_inv, f12_mul, f12_pow,
-                    fixed_base_powers, group_sum, msm as curve_msm, pairing,
+from .curve import (G1, G2, R, fixed_base_powers, msm as curve_msm,
                     pairing_product_is_one)
 
 _MASK64 = (1 << 64) - 1

@@ -32,9 +32,8 @@ import hashlib
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
-from .curve import (G1, G2, R as ZP, pairing, f12_mul, f12_inv, F12_ONE,
-                    fixed_base_powers, group_sum, msm as curve_msm,
-                    pairing_product_is_one)
+from .curve import (G1, G2, R as ZP, fixed_base_powers, group_sum,
+                    msm as curve_msm, pairing_product_is_one)
 from .four_squares import four_squares
 from .pke import (
     _compute_r1,
