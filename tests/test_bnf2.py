@@ -191,6 +191,55 @@ def test_apply_lookup_table_v6(v6_env):
         assert int(ck.decrypt(out)) == (m * m + 1) % mm, m
 
 
+def test_blind_rotate_prepermuted_key_parity(monkeypatch):
+    """Pre-permuted kernel-order BSK (bsk_scan_to_kernel_order, the
+    production key layout — hoists the whole-key frequency gather out of
+    the jitted rotation) must be bit-identical to the spec-layout key,
+    and the inverse map must round-trip exactly."""
+    monkeypatch.delenv("TFHE_V4_ACC", raising=False)
+    lut, mask, body, bsk2, blog, levels = _toy_inputs(seed=33)
+    bsk_k = pk.bsk_scan_to_kernel_order(bsk2, blog)
+    assert bsk_k.shape == bsk2.shape[:-1] + (bsk2.shape[-1] // 128, 128)
+    np.testing.assert_array_equal(
+        np.asarray(pk.kernel_order_to_bsk_scan(bsk_k, blog)),
+        np.asarray(bsk2))
+    want = np.asarray(pk.blind_rotate_pallas(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels, b2.get_plan2(256), batch_tile=2, unroll=2, bnf2=True))
+    got = np.asarray(pk.blind_rotate_pallas(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk_k,
+        blog, levels, b2.get_plan2(256), batch_tile=2, unroll=2, bnf2=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pbs_bnf2_accepts_prepermuted_key(monkeypatch):
+    """programmable_bootstrap_bnf2 is layout-agnostic: the 7-dim
+    kernel-order key must give bit-identical outputs on the jnp oracle
+    path (use_pallas=False converts back via the exact inverse)."""
+    from tfhe_tpu.ops import server as server_ops
+    from tfhe_tpu.shortint.client_key import ClientKey
+    from tfhe_tpu.utils.params import PARAM_TEST_TOY as p
+
+    monkeypatch.setenv("TFHE_NTT_VARIANT", "v6")
+    from tfhe_tpu.shortint.server_key import ServerKey
+
+    ck = ClientKey.generate(p, seed=17)
+    sk = ServerKey.generate(ck)
+    mm = p.message_modulus
+    lut = sk.generate_lookup_table(lambda x: (x + 1) % mm)
+    ct = ck.encrypt(1)
+    bsk6 = sk.bsk_scan_b
+    bsk7 = sk.bsk_scan_b_k
+    assert bsk7.ndim == 7
+    a = np.asarray(server_ops.programmable_bootstrap_bnf2(
+        ct.ct[None], lut.acc[None], bsk6, p.pbs_base_log, p.pbs_level,
+        use_pallas=False))
+    b = np.asarray(server_ops.programmable_bootstrap_bnf2(
+        ct.ct[None], lut.acc[None], bsk7, p.pbs_base_log, p.pbs_level,
+        use_pallas=False))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_bsk_b_roundtrip_derivation(v6_env):
     """The lazy CRT->standard->BNF2 derivation must equal the direct
     embedding of the raw standard-domain key."""

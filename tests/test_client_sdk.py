@@ -57,15 +57,54 @@ blob = client.serialize_radix(ct)
 open(%(out)r, "wb").write(blob)
 kblob = client.serialize_client_key(ck)
 open(%(kout)r, "wb").write(kblob)
+
+# compact-list building + client-side ZK proving (js_on_wasm_api parity:
+# the browser client proves locally, the server only verifies)
+from tfhe_tpu.utils.params import (
+    CompactPublicKeyEncryptionParameters, DynamicDistribution,
+)
+
+PKE = CompactPublicKeyEncryptionParameters(
+    encryption_lwe_dimension=16,
+    encryption_noise_distribution=DynamicDistribution.t_uniform(3),
+    message_modulus=4,
+    carry_modulus=4,
+    name="TOY_PKE_CLIENT",
+)
+cpriv, cpk = client.generate_compact_keys(PKE, seed=7)
+clist = client.build_compact_list(cpk, [9, 3], num_blocks=2)
+assert clist.count == 4
+crs = client.client_crs(PKE, max_bin_messages=4, seed=2, scheme="v2")
+proven = client.build_proven_compact_list(
+    cpk, [9, 3], num_blocks=2, crs=crs, metadata=b"cm")
+open(%(lout)r, "wb").write(client.serialize_compact_list(proven.ct_list))
+open(%(pout)r, "wb").write(client.serialize_proof(proven.proofs[0]))
 assert "jax" not in sys.modules, "client operations pulled in jax"
 print("CLIENT-OK")
 """
 
 
+def test_binary_polymul_numpy_twin_bit_exact():
+    """The thin client's numpy negacyclic shift-and-add must equal the
+    CRT-NTT path bit-for-bit (same u64 ring)."""
+    from tfhe_tpu.core import algorithms as algo
+
+    r = np.random.default_rng(5)
+    for n, k in [(16, 1), (64, 2), (256, 1)]:
+        s = r.integers(0, 2, size=(k, n)).astype(np.uint64)
+        a = r.integers(0, 1 << 64, size=(3, k, n), dtype=np.uint64)
+        want = algo._binary_polymul_batch(s, a)
+        got = algo._binary_polymul_batch_np(s, a)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_client_without_jax_interop(tmp_path):
     out = str(tmp_path / "ct.bin")
     kout = str(tmp_path / "ck.bin")
-    script = CLIENT_SCRIPT % {"root": str(ROOT), "out": out, "kout": kout}
+    lout = str(tmp_path / "clist.bin")
+    pout = str(tmp_path / "proof.bin")
+    script = CLIENT_SCRIPT % {"root": str(ROOT), "out": out, "kout": kout,
+                              "lout": lout, "pout": pout}
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
@@ -92,3 +131,31 @@ def test_client_without_jax_interop(tmp_path):
     # the client key envelope restores a working key
     ck2 = deserialize(open(kout, "rb").read(), expected_type="ShortintClientKey")
     assert int(cl.decrypt_radix(ck2, ct)[0]) == 173
+
+    # server side of the ZK flow: regenerate pk/crs from the same seeds,
+    # deserialize the client-built compact list + proof, verify, expand,
+    # decrypt (the verify_and_expand path of compact_list.rs:638)
+    from tfhe_tpu.utils.params import (
+        CompactPublicKeyEncryptionParameters, DynamicDistribution,
+    )
+    from tfhe_tpu.zk.proven_list import ProvenCompactCiphertextList
+
+    PKE = CompactPublicKeyEncryptionParameters(
+        encryption_lwe_dimension=16,
+        encryption_noise_distribution=DynamicDistribution.t_uniform(3),
+        message_modulus=4,
+        carry_modulus=4,
+        name="TOY_PKE_CLIENT",
+    )
+    cpriv, cpk = cl.generate_compact_keys(PKE, seed=7)
+    crs = cl.client_crs(PKE, max_bin_messages=4, seed=2, scheme="v2")
+    clist = deserialize(open(lout, "rb").read(),
+                        expected_type="CompactCiphertextList")
+    proof = deserialize(open(pout, "rb").read(), expected_type="PkeV2Proof")
+    proven = ProvenCompactCiphertextList(
+        ct_list=clist, proofs=[proof], metadata=b"cm")
+    expanded = proven.verify_and_expand(crs, cpk, metadata=b"cm")
+    dec = cpriv.decrypt_expanded(np.asarray(expanded.ct))
+    # radix digits of [9, 3] at message_modulus 4, 2 blocks each
+    assert list(dec) == [1, 2, 3, 0]
+    assert not proven.verify(crs, cpk, metadata=b"wrong-metadata")

@@ -32,12 +32,19 @@ __all__ = [
     "ClientKey",
     "ClientRadixCiphertext",
     "CompactPublicKey",
+    "CompactPrivateKey",
     "encrypt_radix",
     "encrypt_signed_radix",
     "decrypt_radix",
     "decrypt_signed_radix",
     "serialize_radix",
     "serialize_client_key",
+    "generate_compact_keys",
+    "build_compact_list",
+    "build_proven_compact_list",
+    "client_crs",
+    "serialize_compact_list",
+    "serialize_proof",
 ]
 
 ClientKey = ShortintClientKey
@@ -140,3 +147,74 @@ def serialize_radix(payload) -> bytes:
 
 def serialize_client_key(ck: ShortintClientKey) -> bytes:
     return ser.serialize_shortint_client_key(ck)
+
+
+# ---------------------------------------------------------------------------
+# compact lists + client-side ZK proving (js_on_wasm_api parity: the
+# reference browser client builds CompactCiphertextLists and proves them
+# locally — tfhe/src/js_on_wasm_api/js_high_level_api/zk.rs,
+# integers.rs ProvenCompactCiphertextList::builder)
+# ---------------------------------------------------------------------------
+
+from .shortint.compact_public_key import CompactPrivateKey  # noqa: E402,F401
+
+
+def generate_compact_keys(cpk_params, seed: int = 0):
+    """(CompactPrivateKey, CompactPublicKey) for a
+    CompactPublicKeyEncryptionParameters set — pure numpy keygen, the
+    analog of ``TfheCompactPublicKey::new`` in the wasm client."""
+    from .shortint.compact_public_key import CompactPublicKey as Cpk
+
+    sk = CompactPrivateKey.generate(cpk_params, seed=seed)
+    return sk, Cpk.generate(sk)
+
+
+def _radix_digits(values, num_blocks: int, message_modulus: int) -> np.ndarray:
+    vals = np.atleast_1d(np.asarray(values, dtype=np.uint64))
+    digits = np.zeros(vals.shape + (num_blocks,), dtype=np.uint64)
+    v = vals.copy()
+    for b in range(num_blocks):
+        digits[..., b] = v % np.uint64(message_modulus)
+        v //= np.uint64(message_modulus)
+    return digits.reshape(-1)
+
+
+def build_compact_list(pk, values, num_blocks: int):
+    """Radix-decompose clear integers and pack them into ONE
+    CompactCiphertextList under the compact public key (the
+    CompactCiphertextListBuilder::push/build flow of
+    js_high_level_api/integers.rs, without the server stack)."""
+    mm = pk.params.message_modulus
+    return pk.encrypt(_radix_digits(values, num_blocks, mm))
+
+
+def build_proven_compact_list(pk, values, num_blocks: int, crs,
+                              metadata: bytes = b""):
+    """build_compact_list + a ZK proof of encryption correctness per
+    shared-mask bin (ProvenCompactCiphertextList::builder ... build_with_
+    proof_packed in the wasm client). Proving is pure Python/numpy (with
+    the optional native BLS12-446 backend when the C toolchain exists on
+    the client) — no JAX, so a thin device can prove locally."""
+    from .zk.proven_list import ProvenCompactCiphertextList
+
+    mm = pk.params.message_modulus
+    return ProvenCompactCiphertextList.encrypt_and_prove(
+        pk, _radix_digits(values, num_blocks, mm), crs, metadata=metadata)
+
+
+def client_crs(cpk_params, max_bin_messages: int, seed: int = 0,
+               scheme: str = "v2"):
+    """CRS sized for the parameter set (CompactPkeCrs::from_config).
+    ``scheme``: 'v2' (reference default since v0.11) or 'v1'."""
+    from .zk import proven_list as pl
+
+    fn = pl.crs_for_params_v2 if scheme == "v2" else pl.crs_for_params
+    return fn(cpk_params, max_bin_messages, seed=seed)
+
+
+def serialize_compact_list(cl) -> bytes:
+    return ser.serialize_compact_list(cl)
+
+
+def serialize_proof(proof) -> bytes:
+    return ser.serialize_zk_proof(proof)

@@ -175,14 +175,42 @@ def _binary_polymul_fn(n: int, num_primes: int, batch_rank: int):
     return f
 
 
+def _binary_polymul_batch_np(s_bits: np.ndarray,
+                             masks: np.ndarray) -> np.ndarray:
+    """Exact numpy twin of :func:`_binary_polymul_batch` for the thin
+    client (tfhe_tpu.client runs with JAX absent): schoolbook negacyclic
+    shift-and-add on the u64 ring — the key is binary, so each set bit j
+    contributes ``a * X^j`` (roll with sign flip on the wrapped prefix).
+    O(k * n^2 / 2) adds; CPK keygen/encrypt call this once per message
+    batch at n <= 2048, well under a second on an edge device."""
+    n = s_bits.shape[-1]
+    k = s_bits.shape[0]
+    masks = np.asarray(masks, dtype=_U64)
+    batch = masks.shape[:-2]
+    flat = masks.reshape((-1, k, n))
+    out = np.zeros((flat.shape[0], n), dtype=_U64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            for j in np.nonzero(s_bits[i])[0]:
+                rolled = np.roll(flat[:, i, :], int(j), axis=-1)
+                if j:
+                    rolled[:, :j] = np.uint64(0) - rolled[:, :j]
+                out += rolled
+    return out.reshape(batch + (n,))
+
+
 def _binary_polymul_batch(s_bits: np.ndarray, masks: np.ndarray) -> np.ndarray:
     """sum_i s_i(X) * a_i(X) mod (X^N+1, 2^64) for a batch.
 
     ``s_bits``: u64[k, N] binary; ``masks``: u64[..., k, N].
     Returns u64[..., N]. Uses the CRT-NTT plan (binary * u64: 3 primes cover
     the 1 + 64 + log2(N) + log2(k) bit bound for N<=2^15, k<=4).
+    Falls back to the exact numpy twin when JAX is absent (thin client).
     """
-    import jax.numpy as jnp
+    try:
+        import jax.numpy as jnp
+    except ImportError:
+        return _binary_polymul_batch_np(s_bits, masks)
 
     n = s_bits.shape[-1]
     k = s_bits.shape[0]

@@ -670,12 +670,17 @@ def programmable_bootstrap_bnf2(
     ``ntt64_bnf_pbs.rs:174-260`` generalized to a 30-bit prime pair).
 
     ``bsk_scan2``: u32[n, 2, 2, l*R, R, N] from
-    ``bnf2.bootstrap_key_to_bnf2``. ``use_pallas=False`` runs the jnp
-    oracle twin (bit-identical outputs; CPU tests)."""
+    ``bnf2.bootstrap_key_to_bnf2``, or the pre-permuted kernel-order form
+    u32[n, 2, 2, l*R, R, G, 128] (``pbs_kernel.bsk_scan_to_kernel_order``
+    — hoists a whole-key gather out of the jitted rotation, 24% of the v6
+    step). ``use_pallas=False`` runs the jnp oracle twin (bit-identical
+    outputs; CPU tests)."""
     from . import bnf2 as b2
     from . import pbs_kernel as pk
 
-    N = bsk_scan2.shape[5]
+    prepermuted = bsk_scan2.ndim == 7
+    N = (bsk_scan2.shape[5] * bsk_scan2.shape[6] if prepermuted
+         else bsk_scan2.shape[5])
     plan2 = b2.get_plan2(N)
     log_modulus = N.bit_length()
     if centered_ms:
@@ -709,6 +714,8 @@ def programmable_bootstrap_bnf2(
         # bit-exact twin of the Pallas path: resolve the accumulator mode
         # from the same env knob (the v6 kernel defaults to acc32)
         acc32 = os.environ.get("TFHE_V4_ACC", "32") == "32"
+        if prepermuted:
+            bsk_scan2 = pk.kernel_order_to_bsk_scan(bsk_scan2, base_log)
         rotated = b2.blind_rotate_bnf2(
             lut_b, ms_mask, ms_body, bsk_scan2, base_log, levels,
             acc_round32=acc32)

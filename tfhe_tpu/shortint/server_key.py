@@ -244,6 +244,27 @@ class ServerKey:
         return cached
 
     @property
+    def bsk_scan_b_k(self) -> Any:
+        """v6 BSK pre-permuted to the kernel's frequency order
+        u32[n, 2, 2, l*R, R, G, 128] (``pbs_kernel.bsk_scan_to_kernel_order``).
+        Left inside the jitted rotation, that whole-key gather costs a
+        measured 0.18 us/ct-step — 24% of the v6 step — so production keys
+        pay it once here at key-prep time. The spec-layout copy is dropped
+        after conversion (exactly recoverable via the inverse permutation)
+        to avoid holding two whole keys in HBM."""
+        cached = getattr(self, "_bsk_bk_cache", None)
+        if cached is None:
+            from ..ops.pbs_kernel import bsk_scan_to_kernel_order
+
+            object.__setattr__(
+                self, "_bsk_bk_cache",
+                bsk_scan_to_kernel_order(self.bsk_scan_b,
+                                         self.params.pbs_base_log))
+            object.__setattr__(self, "_bsk_b_cache", None)
+            cached = self._bsk_bk_cache
+        return cached
+
+    @property
     def _drift(self):
         """(r_sigma, bound, input_variance) when the parameter set selects
         drift-technique MS noise reduction, else None."""
@@ -262,7 +283,8 @@ class ServerKey:
         Drift-MS parameter sets get a (bsk, modulus_switch_zeros) tuple."""
         v = self.ntt_variant
         if v == "v6":
-            base = self.bsk_scan_b
+            base = (self.bsk_scan_b_k if use_pallas_default()
+                    else self.bsk_scan_b)
         else:
             base = self.bsk_scan_g if v == "v5" else self.bsk_scan
         if self._drift is not None:
