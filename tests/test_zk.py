@@ -238,6 +238,29 @@ def test_native_curve_backend_matches_python():
         assert nat_msm.pt == aff
 
 
+def test_native_pairing_matches_python():
+    """The C pairing (native/bls446.c: Fq6/Fq12 tower, generic Miller,
+    shared final exp — the same construction as the Python spec) must
+    produce the IDENTICAL Fq12 value, verify a true bilinearity product,
+    and reject a perturbed one."""
+    from tfhe_tpu.zk import curve as cv
+
+    if (cv._native_lib() is None
+            or not hasattr(cv._native_lib(), "pairing_product_is_one")):
+        pytest.skip("native pairing unavailable")
+    P1, Q1 = cv.G1(cv.G1.GEN), cv.G2(cv.G2.GEN)
+    assert cv._native_pairing_eval(P1, Q1) == cv.pairing(P1, Q1)
+    a, b = 987654321, 123456789
+    good = [(P1 * a, Q1 * b), (P1 * (-(a * b) % cv.R), Q1)]
+    assert cv._native_pairing_product(good) is True
+    assert cv.pairing_product_is_one(good)  # dispatches native
+    bad = [(P1 * a, Q1 * b), (P1, Q1)]
+    assert cv._native_pairing_product(bad) is False
+    # zero points skip their pair, like the Python path
+    assert cv._native_pairing_product(
+        [(cv.G1.zero(), Q1), (P1, cv.G2.zero())]) is True
+
+
 def test_poly_mul_kronecker_matches_schoolbook():
     import random
 

@@ -106,15 +106,11 @@ def get_bls_lib():
     if _bls_lib is not None or _bls_tried:
         return _bls_lib
     _bls_tried = True
-    if (not os.path.exists(_BLS_SO)
-            or os.path.getmtime(_BLS_SO) < os.path.getmtime(_BLS_SRC)):
-        try:
-            subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", "-o", _BLS_SO, _BLS_SRC],
-                check=True, capture_output=True,
-            )
-        except Exception:
+    if _needs_build(_BLS_SRC, _BLS_SO):
+        if not _build(_BLS_SRC, _BLS_SO) and not os.path.exists(_BLS_SO):
             return None
+    if not os.path.exists(_BLS_SO):
+        return None
     try:
         lib = ctypes.CDLL(_BLS_SO)
         for pre in ("g1", "g2"):
@@ -126,6 +122,16 @@ def get_bls_lib():
             ms.argtypes = [_u64p, _u8p, _u64p, ctypes.c_longlong, _u64p,
                            _u8p]
             ms.restype = None
+        # pairing exports (absent in a stale prebuilt .so: hasattr-gated
+        # at the call sites in zk/curve.py)
+        if hasattr(lib, "pairing_product_is_one"):
+            pp = lib.pairing_product_is_one
+            pp.argtypes = [_u64p, _u8p, _u64p, _u8p, ctypes.c_longlong,
+                           _u64p, ctypes.c_int, _u8p]
+            pp.restype = ctypes.c_int
+            pe = lib.pairing_eval
+            pe.argtypes = [_u64p, _u64p, _u64p, ctypes.c_int, _u64p]
+            pe.restype = ctypes.c_int
         _bls_lib = lib
     except OSError:
         _bls_lib = None

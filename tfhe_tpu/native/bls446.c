@@ -554,3 +554,297 @@ DEF_MSM(g2, F2L, fq2_to_mont, fq2_from_mont, fq2_is_zero)
  * madd expects an affine second operand — pm entries ARE affine (x, y)
  * Montgomery pairs, so this is consistent. Buckets start at infinity
  * (all-zero Z) and madd handles that case. */
+
+/* ================================================================ pairing
+ * Fq6 = Fq2[v]/(v^3 - xi), xi = 1 + i; Fq12 = Fq6[w]/(w^2 - v).
+ *
+ * Mirrors tfhe_tpu/zk/curve.py EXACTLY (the spec): generic-Miller ate
+ * pairing — G2 untwisted into E(Fq12), lines evaluated in full Fq12 with
+ * numerator/denominator accumulation, final power (p^12-1)/r supplied by
+ * the caller — so the native values are point-for-point comparable to
+ * the Python ones (reference construction: tfhe-zk-pok/src/curve_446).
+ * Degenerate line cases (2-torsion / equal-x chords) cannot occur for
+ * order-r inputs; if ever hit, functions return -1 and the caller falls
+ * back to the Python path. */
+
+#define F6L (3 * F2L)
+#define F12L (2 * F6L)
+
+/* xi * a for xi = 1 + i: (a0 - a1) + (a0 + a1) i */
+static void fq2_mul_xi(u64 *r, const u64 *a) {
+  u64 t0[NL], t1[NL];
+  fq_sub(t0, a, a + NL);
+  fq_add(t1, a, a + NL);
+  memcpy(r, t0, NL * 8);
+  memcpy(r + NL, t1, NL * 8);
+}
+
+static void fq6_add(u64 *r, const u64 *a, const u64 *b) {
+  for (int i = 0; i < 3; i++) fq2_add(r + i * F2L, a + i * F2L, b + i * F2L);
+}
+static void fq6_sub(u64 *r, const u64 *a, const u64 *b) {
+  for (int i = 0; i < 3; i++) fq2_sub(r + i * F2L, a + i * F2L, b + i * F2L);
+}
+static void fq6_neg(u64 *r, const u64 *a) {
+  for (int i = 0; i < 3; i++) fq2_neg(r + i * F2L, a + i * F2L);
+}
+static int fq6_is_zero(const u64 *a) {
+  return fq2_is_zero(a) && fq2_is_zero(a + F2L) && fq2_is_zero(a + 2 * F2L);
+}
+
+static void fq6_mul(u64 *r, const u64 *a, const u64 *b) {
+  u64 c[5][F2L], t[F2L], x[F2L];
+  memset(c, 0, sizeof(c));
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) {
+      fq2_mul(t, a + i * F2L, b + j * F2L);
+      fq2_add(c[i + j], c[i + j], t);
+    }
+  fq2_mul_xi(x, c[3]);
+  fq2_add(r, c[0], x);
+  fq2_mul_xi(x, c[4]);
+  fq2_add(r + F2L, c[1], x);
+  memcpy(r + 2 * F2L, c[2], F2L * 8);
+}
+
+static void fq6_mul_by_v(u64 *r, const u64 *a) {
+  u64 t[F2L];
+  fq2_mul_xi(t, a + 2 * F2L);
+  /* alias-safe order (r may be a): a2 is saved in t, shift up, then c0 */
+  memmove(r + 2 * F2L, a + F2L, F2L * 8);
+  memmove(r + F2L, a, F2L * 8);
+  memcpy(r, t, F2L * 8);
+}
+
+static void fq6_inv(u64 *r, const u64 *a) {
+  const u64 *a0 = a, *a1 = a + F2L, *a2 = a + 2 * F2L;
+  u64 t0[F2L], t1[F2L], t2[F2L], u[F2L], v[F2L], norm[F2L], ninv[F2L];
+  fq2_mul(t0, a0, a0);
+  fq2_mul(u, a1, a2); fq2_mul_xi(v, u); fq2_sub(t0, t0, v);
+  fq2_mul(u, a2, a2); fq2_mul_xi(t1, u);
+  fq2_mul(u, a0, a1); fq2_sub(t1, t1, u);
+  fq2_mul(t2, a1, a1);
+  fq2_mul(u, a0, a2); fq2_sub(t2, t2, u);
+  fq2_mul(u, a2, t1); fq2_mul(v, a1, t2); fq2_add(u, u, v);
+  fq2_mul_xi(v, u);
+  fq2_mul(u, a0, t0); fq2_add(norm, u, v);
+  fq2_inv(ninv, norm);
+  fq2_mul(r, t0, ninv);
+  fq2_mul(r + F2L, t1, ninv);
+  fq2_mul(r + 2 * F2L, t2, ninv);
+}
+
+static void fq12_add(u64 *r, const u64 *a, const u64 *b) {
+  fq6_add(r, a, b);
+  fq6_add(r + F6L, a + F6L, b + F6L);
+}
+static void fq12_sub(u64 *r, const u64 *a, const u64 *b) {
+  fq6_sub(r, a, b);
+  fq6_sub(r + F6L, a + F6L, b + F6L);
+}
+
+static void fq12_mul(u64 *r, const u64 *a, const u64 *b) {
+  u64 t0[F6L], t1[F6L], sa[F6L], sb[F6L], mid[F6L], v[F6L];
+  fq6_mul(t0, a, b);
+  fq6_mul(t1, a + F6L, b + F6L);
+  fq6_add(sa, a, a + F6L);
+  fq6_add(sb, b, b + F6L);
+  fq6_mul(mid, sa, sb);
+  fq6_sub(mid, mid, t0);
+  fq6_sub(mid, mid, t1);
+  fq6_mul_by_v(v, t1);
+  fq6_add(r, t0, v);
+  memcpy(r + F6L, mid, F6L * 8);
+}
+static void fq12_sqr(u64 *r, const u64 *a) { fq12_mul(r, a, a); }
+
+static void fq12_inv(u64 *r, const u64 *a) {
+  u64 n0[F6L], n1[F6L], norm[F6L], ninv[F6L], t[F6L];
+  fq6_mul(n0, a, a);
+  fq6_mul(n1, a + F6L, a + F6L);
+  fq6_mul_by_v(t, n1);
+  fq6_sub(norm, n0, t);
+  fq6_inv(ninv, norm);
+  fq6_mul(r, a, ninv);
+  fq6_mul(t, a + F6L, ninv);
+  fq6_neg(r + F6L, t);
+}
+
+static void fq12_one(u64 *r) {
+  memset(r, 0, F12L * 8);
+  memcpy(r, ONEM, NL * 8);
+}
+
+static int fq12_eq(const u64 *a, const u64 *b) {
+  return memcmp(a, b, F12L * 8) == 0;
+}
+static int fq12_is_zero(const u64 *a) {
+  return fq6_is_zero(a) && fq6_is_zero(a + F6L);
+}
+
+/* untwist constants 1/w^2, 1/w^3 (Montgomery), built once */
+static u64 W2INV[F12L], W3INV[F12L];
+static int pairing_init_done = 0;
+static void ensure_pairing_init(void) {
+  if (pairing_init_done) return;
+  u64 w2[F12L], w3[F12L];
+  memset(w2, 0, sizeof(w2));
+  memcpy(w2 + F2L, ONEM, NL * 8);          /* w^2 = v: c0 limb d1 */
+  memset(w3, 0, sizeof(w3));
+  memcpy(w3 + F6L + F2L, ONEM, NL * 8);    /* w^3 = v w: c1 limb d1 */
+  fq12_inv(W2INV, w2);
+  fq12_inv(W3INV, w3);
+  pairing_init_done = 1;
+}
+
+/* line through a=(tx,ty) and b (tangent if dbl) evaluated at p=(px,py);
+ * advances (tx,ty) to a+b. Returns -1 on a degenerate case. */
+static int f12_line(u64 *tx, u64 *ty, const u64 *bx, const u64 *by, int dbl,
+                    const u64 *px, const u64 *py, u64 *num, u64 *den) {
+  u64 lam[F12L], t0[F12L], t1[F12L], x3[F12L], y3[F12L];
+  if (dbl) {
+    if (fq12_is_zero(ty)) return -1;
+    fq12_sqr(t0, tx);
+    fq12_add(t1, t0, t0);
+    fq12_add(t0, t1, t0);               /* 3 x^2 */
+    fq12_add(t1, ty, ty);
+    fq12_inv(t1, t1);
+    fq12_mul(lam, t0, t1);
+    bx = tx;
+    by = ty;
+  } else {
+    if (fq12_eq(tx, bx)) return -1;
+    fq12_sub(t0, by, ty);
+    fq12_sub(t1, bx, tx);
+    fq12_inv(t1, t1);
+    fq12_mul(lam, t0, t1);
+  }
+  /* num = (py - ty) - lam (px - tx) */
+  fq12_sub(t0, px, tx);
+  fq12_mul(t0, lam, t0);
+  fq12_sub(t1, py, ty);
+  fq12_sub(num, t1, t0);
+  /* t <- a + b; den = px - x3 */
+  fq12_sqr(t0, lam);
+  fq12_sub(t0, t0, tx);
+  fq12_sub(x3, t0, bx);
+  fq12_sub(t0, tx, x3);
+  fq12_mul(t0, lam, t0);
+  fq12_sub(y3, t0, ty);
+  fq12_sub(den, px, x3);
+  memcpy(tx, x3, F12L * 8);
+  memcpy(ty, y3, F12L * 8);
+  return 0;
+}
+
+#define X_ABS_HI 0x600ULL
+#define X_ABS_LO 0x8204000000020001ULL
+#define X_ABS_BITS 75
+
+static int x_abs_bit(int i) {
+  return i < 64 ? (int)((X_ABS_LO >> i) & 1) : (int)((X_ABS_HI >> (i - 64)) & 1);
+}
+
+/* f_{X_ABS, Q}(P), Q=(qx,qy) and P=(px,py) in E(Fq12) affine Montgomery */
+static int f12_miller(const u64 *qx, const u64 *qy, const u64 *px,
+                      const u64 *py, u64 *out) {
+  u64 fn[F12L], fd[F12L], tx[F12L], ty[F12L];
+  u64 num[F12L], den[F12L], t[F12L];
+  fq12_one(fn);
+  fq12_one(fd);
+  memcpy(tx, qx, F12L * 8);
+  memcpy(ty, qy, F12L * 8);
+  for (int i = X_ABS_BITS - 2; i >= 0; i--) {
+    if (f12_line(tx, ty, NULL, NULL, 1, px, py, num, den)) return -1;
+    fq12_sqr(t, fn); fq12_mul(fn, t, num);
+    fq12_sqr(t, fd); fq12_mul(fd, t, den);
+    if (x_abs_bit(i)) {
+      if (f12_line(tx, ty, qx, qy, 0, px, py, num, den)) return -1;
+      fq12_mul(t, fn, num); memcpy(fn, t, F12L * 8);
+      fq12_mul(t, fd, den); memcpy(fd, t, F12L * 8);
+    }
+  }
+  fq12_inv(t, fd);
+  fq12_mul(out, fn, t);
+  return 0;
+}
+
+static void fq12_pow_limbs(u64 *r, const u64 *a, const u64 *e, int nlimbs) {
+  u64 t[F12L];
+  fq12_one(r);
+  int started = 0;
+  for (int li = nlimbs - 1; li >= 0; li--)
+    for (int b = 63; b >= 0; b--) {
+      if (started) { fq12_sqr(t, r); memcpy(r, t, F12L * 8); }
+      if ((e[li] >> b) & 1) {
+        fq12_mul(t, r, a);
+        memcpy(r, t, F12L * 8);
+        started = 1;
+      }
+    }
+}
+
+/* embed affine G1 (normal domain, 2*NL limbs) into E(Fq12) Montgomery */
+static void embed_g1(const u64 *g1, u64 *px, u64 *py) {
+  memset(px, 0, F12L * 8);
+  memset(py, 0, F12L * 8);
+  fq_to_mont(px, g1);
+  fq_to_mont(py, g1 + NL);
+}
+
+/* untwist affine G2 (normal domain, 2*F2L limbs): x/w^2, y/w^3 */
+static void untwist_g2(const u64 *g2, u64 *qx, u64 *qy) {
+  u64 e[F12L];
+  memset(e, 0, sizeof(e));
+  fq2_to_mont(e, g2);
+  fq12_mul(qx, e, W2INV);
+  memset(e, 0, sizeof(e));
+  fq2_to_mont(e, g2 + F2L);
+  fq12_mul(qy, e, W3INV);
+}
+
+/* prod_i e(P_i, Q_i) == 1, one shared final exponentiation.
+ * exp = (p^12-1)/r as little-endian u64 limbs. Returns 0 ok / -1 fall back. */
+int pairing_product_is_one(const u64 *g1s, const unsigned char *g1_inf,
+                           const u64 *g2s, const unsigned char *g2_inf,
+                           long long n, const u64 *exp_limbs, int exp_nlimbs,
+                           unsigned char *out_is_one) {
+  ensure_pairing_init();
+  u64 acc[F12L], m[F12L], t[F12L];
+  u64 px[F12L], py[F12L], qx[F12L], qy[F12L];
+  fq12_one(acc);
+  int nontrivial = 0;
+  for (long long i = 0; i < n; i++) {
+    if (g1_inf[i] || g2_inf[i]) continue;
+    embed_g1(g1s + i * 2 * NL, px, py);
+    untwist_g2(g2s + i * 2 * F2L, qx, qy);
+    if (f12_miller(qx, qy, px, py, m)) return -1;
+    fq12_mul(t, acc, m);
+    memcpy(acc, t, F12L * 8);
+    nontrivial = 1;
+  }
+  if (!nontrivial) {
+    *out_is_one = 1;
+    return 0;
+  }
+  fq12_pow_limbs(t, acc, exp_limbs, exp_nlimbs);
+  u64 one[F12L];
+  fq12_one(one);
+  *out_is_one = (unsigned char)fq12_eq(t, one);
+  return 0;
+}
+
+/* e(P, Q) full pairing value, normal domain out (12 Fq coeffs in the
+ * (c0.(d0,d1,d2), c1.(d0,d1,d2)) fq2-flattened order) — cross-check vs
+ * the Python spec's pairing(). */
+int pairing_eval(const u64 *g1, const u64 *g2, const u64 *exp_limbs,
+                 int exp_nlimbs, u64 *out) {
+  ensure_pairing_init();
+  u64 px[F12L], py[F12L], qx[F12L], qy[F12L], m[F12L], f[F12L];
+  embed_g1(g1, px, py);
+  untwist_g2(g2, qx, qy);
+  if (f12_miller(qx, qy, px, py, m)) return -1;
+  fq12_pow_limbs(f, m, exp_limbs, exp_nlimbs);
+  for (int i = 0; i < 12; i++) fq_from_mont(out + i * NL, f + i * NL);
+  return 0;
+}

@@ -1830,6 +1830,61 @@ def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
     return step
 
 
+@functools.lru_cache(maxsize=None)
+def _build_body_rot_fn_v4(n: int, R: int, batch_tile: int, acc32: bool):
+    """Pallas prologue: per-ciphertext negacyclic body rotation of the
+    accumulator IN the transposed [R, G, B, 128] layout.
+
+    Replaces ``monomial_div(lut, body)`` — a per-row gather on the minor
+    axis that XLA lowers catastrophically (measured 142 us/ct at B=1024,
+    23% of the whole 2_2 PBS; /tmp-probe 2026-08-20) — with the same
+    conditional-static-roll ladder the step kernel uses for X^{a_i}
+    (``_negacyclic_rot_v4``), ~1 us/ct. ``acc32``: fold to the
+    single-plane accumulator inside the kernel (rotate the exact (hi, lo)
+    pair FIRST so the result stays bit-identical to
+    monomial_div-then-fold, the jnp oracle's order).
+
+    fn(a_rot[1, B, 1] u32 in [0, 2N), acc_hi, acc_lo u32[R, G, B, 128])
+    -> acc_hi (acc32) or (acc_hi, acc_lo).
+    """
+    G = n // 128
+    log_2n = n.bit_length()
+
+    def kernel(a_ref, hi_ref, lo_ref, *out_refs):
+        lane_idx = lax.broadcasted_iota(U32, (1, 1, 128), 2)
+        for r in range(R):
+            rhi, rlo = _negacyclic_rot_v4(hi_ref[r], lo_ref[r], a_ref[0],
+                                          lane_idx, G, log_2n)
+            if acc32:
+                out_refs[0][r] = rhi + (rlo >> U32(31))
+            else:
+                out_refs[0][r] = rhi
+                out_refs[1][r] = rlo
+
+    def fn(a_rot, acc_hi, acc_lo):
+        B = acc_hi.shape[2]
+        Bt = min(batch_tile, B)
+        assert B % Bt == 0
+        z = np.int32(0)
+        acc_spec = pl.BlockSpec((R, G, Bt, 128), (lambda i: (z, z, i, z)),
+                                memory_space=pltpu.VMEM)
+        a_spec = pl.BlockSpec((1, Bt, 1), (lambda i: (z, i, z)),
+                              memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((R, G, B, 128), jnp.uint32)
+        out_shape = shape if acc32 else (shape, shape)
+        out_specs = acc_spec if acc32 else (acc_spec, acc_spec)
+        return pl.pallas_call(
+            kernel,
+            grid=(B // Bt,),
+            interpret=jax.default_backend() == "cpu",
+            in_specs=[a_spec, acc_spec, acc_spec],
+            out_specs=out_specs,
+            out_shape=out_shape,
+        )(a_rot, acc_hi, acc_lo)
+
+    return fn
+
+
 def to_transposed_layout(x: jnp.ndarray, G: int) -> jnp.ndarray:
     """[..., N] standard coefficient order -> [..., G, 128] transposed
     (entry [j1, j2] = coeff j1 + G*j2)."""
@@ -1958,8 +2013,7 @@ def blind_rotate_pallas(
         batch_tile = 32
     batch_tile = int(os.environ.get("TFHE_BATCH_TILE", batch_tile))
 
-    acc = monomial_div(lut, msed_body[..., None])  # u64 [B, R, N]
-    acc = jnp.moveaxis(acc, 1, 0)  # [R, B, N]
+    acc = jnp.moveaxis(lut, 1, 0)  # [R, B, N]; body rotation applied below
 
     # acc32: single-plane accumulator (acc_u64 = hi * 2^32); every CMUX
     # increment is rounded to a multiple of 2^32 — injects per-step noise
@@ -1979,8 +2033,15 @@ def blind_rotate_pallas(
         # [R, B, G, 128] -> group-leading [R, G, B, 128]
         acc_hi, acc_lo = split_u64(
             jnp.moveaxis(to_transposed_layout(acc, G), 2, 1))
+        # body rotation (lut * X^{-body}) as a Pallas prologue in the
+        # transposed layout — see _build_body_rot_fn_v4 for why not
+        # monomial_div (a gather costing 23% of the whole PBS)
+        a_rot = (((2 * n) - msed_body) % jnp.uint64(2 * n)).astype(U32)
+        rot_fn = _build_body_rot_fn_v4(n, R, batch_tile, acc32=use_acc32)
         if use_acc32:
-            acc_hi = acc_hi + (acc_lo >> U32(31))
+            acc_hi = rot_fn(a_rot[None, :, None], acc_hi, acc_lo)
+        else:
+            acc_hi, acc_lo = rot_fn(a_rot[None, :, None], acc_hi, acc_lo)
         a_scan = jnp.moveaxis(msed_mask.astype(U32), 1, 0)[:, None, :, None]
         if not prepermuted:
             perm = jnp.asarray(tabs4.perm_from_plan)
@@ -1990,7 +2051,9 @@ def blind_rotate_pallas(
         if prepermuted:
             raise ValueError(
                 "pre-permuted (kernel-order) BSK requires the v4/v6 path")
-        acc_hi, acc_lo = split_u64(acc)
+        acc = monomial_div(jnp.moveaxis(acc, 0, 1),
+                           msed_body[..., None])  # u64 [B, R, N]
+        acc_hi, acc_lo = split_u64(jnp.moveaxis(acc, 1, 0))
         a_scan = jnp.moveaxis(msed_mask.astype(U32), 1, 0)[..., None]
 
     pad = (-nsteps) % unroll

@@ -734,7 +734,13 @@ def pairing_product_is_one(pairs) -> bool:
     multiply before the (p^12-1)/r power), the textbook multi-pairing
     optimization — the final exp is the single most expensive part of a
     pure-Python pairing, so this is ~len(pairs)x cheaper than multiplying
-    :func:`pairing` results."""
+    :func:`pairing` results. Dispatches to the native C backend
+    (native/bls446.c pairing_product_is_one, same construction) when
+    available — ~40x faster, the production verify path."""
+    pairs = list(pairs)
+    native = _native_pairing_product(pairs)
+    if native is not None:
+        return native
     acc = F12_ONE
     nontrivial = False
     for p, q in pairs:
@@ -805,6 +811,75 @@ def _g2_unpack(row) -> tuple:
     b = row.tobytes()
     v = [int.from_bytes(b[i * 56:(i + 1) * 56], "little") for i in range(4)]
     return ((v[0], v[1]), (v[2], v[3]))
+
+
+def _exp_limbs() -> "np.ndarray":
+    import numpy as np
+
+    e = _FINAL_EXP
+    nl = (e.bit_length() + 63) // 64
+    return np.frombuffer(e.to_bytes(nl * 8, "little"), dtype=np.uint64).copy()
+
+
+def _native_pairing_product(pairs):
+    """Native multi-pairing verify, or None (missing lib / old .so /
+    degenerate case — callers fall back to the Python spec)."""
+    import ctypes
+
+    import numpy as np
+
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "pairing_product_is_one"):
+        return None
+    g1p, g2p = [], []
+    for p, q in pairs:
+        g1p.append(p.pt)
+        g2p.append(q.pt)
+    n = len(pairs)
+    g1b = _g1_pack(g1p)
+    g2b = _g2_pack(g2p)
+    g1i = np.array([1 if p is None else 0 for p in g1p], dtype=np.uint8)
+    g2i = np.array([1 if q is None else 0 for q in g2p], dtype=np.uint8)
+    exp = _exp_limbs()
+    out = np.zeros(1, dtype=np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.pairing_product_is_one(
+        g1b.ctypes.data_as(u64p), g1i.ctypes.data_as(u8p),
+        g2b.ctypes.data_as(u64p), g2i.ctypes.data_as(u8p),
+        ctypes.c_longlong(n), exp.ctypes.data_as(u64p),
+        ctypes.c_int(len(exp)), out.ctypes.data_as(u8p))
+    if rc != 0:
+        return None
+    return bool(out[0])
+
+
+def _native_pairing_eval(p: "G1", q: "G2"):
+    """Native e(P, Q) as the Python f12 tuple, or None (cross-check path;
+    tests compare this point-for-point against :func:`pairing`)."""
+    import ctypes
+
+    import numpy as np
+
+    lib = _native_lib()
+    if (lib is None or not hasattr(lib, "pairing_eval")
+            or p.is_zero() or q.is_zero()):
+        return None
+    g1b = _g1_pack([p.pt])
+    g2b = _g2_pack([q.pt])
+    exp = _exp_limbs()
+    out = np.zeros(12 * 7, dtype=np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.pairing_eval(
+        g1b.ctypes.data_as(u64p), g2b.ctypes.data_as(u64p),
+        exp.ctypes.data_as(u64p), ctypes.c_int(len(exp)),
+        out.ctypes.data_as(u64p))
+    if rc != 0:
+        return None
+    b = out.tobytes()
+    fq = [int.from_bytes(b[i * 56:(i + 1) * 56], "little") for i in range(12)]
+    return (((fq[0], fq[1]), (fq[2], fq[3]), (fq[4], fq[5])),
+            ((fq[6], fq[7]), (fq[8], fq[9]), (fq[10], fq[11])))
 
 
 def _native_fixed_powers(cls, scalars, window: int):
