@@ -151,3 +151,33 @@ def test_bnf_extra_noise_matches_formula():
     assert bnf > trunc * 0.5, "test must exercise the BNF terms"
     ratio = emp_var / pred
     assert 0.5 < ratio < 2.0, (emp_var, pred, ratio)
+
+
+def test_variant_noise_margin_gate():
+    """Approximate kernels are selected by noise BUDGET, not shape
+    (VERDICT r4 Missing #6 / ADVICE r3): production 2_2 passes the margin
+    gate and resolves v6; a shape-eligible deep-decomposition +
+    near-zero-noise set (where the BNF extras would NOT be dominated)
+    must fall back to the exact CRT path."""
+    from dataclasses import replace
+
+    from tfhe_tpu.ops import bnf2 as b2
+    from tfhe_tpu.shortint.server_key import (
+        resolve_variant, variant_noise_margin_ok)
+    from tfhe_tpu.utils.params import (
+        PARAM_MESSAGE_2_CARRY_2_KS_PBS as P22,
+        DynamicDistribution,
+    )
+
+    assert variant_noise_margin_ok(P22, "v6")
+    assert resolve_variant(P22.polynomial_size, P22.pbs_base_log,
+                           P22.pbs_level, params=P22) == "v6"
+
+    deep = replace(
+        P22, pbs_base_log=1, pbs_level=31,
+        glwe_noise_distribution=DynamicDistribution.gaussian_from_std_dev(
+            2.0 ** -120))
+    assert b2.eligible(deep.polynomial_size, 1, 31)  # shape says yes...
+    assert not variant_noise_margin_ok(deep, "v6")   # ...budget says no
+    assert resolve_variant(deep.polynomial_size, 1, 31,
+                           params=deep) == "crt"

@@ -261,6 +261,73 @@ def test_native_pairing_matches_python():
         [(cv.G1.zero(), Q1), (P1, cv.G2.zero())]) is True
 
 
+def test_transcript_reference_framing():
+    """zk/transcript.py mirrors the Rust sha3 framing byte-for-byte:
+
+    1. the zero-bits encoding reproduces the REFERENCE'S OWN unit-test
+       vectors (hashes.rs:1390-1409) exactly;
+    2. the ternary R mapping, base-3 packing, Compact powers expansion,
+       Montgomery byte encodings and the 42-bit-mask/REDC scalar
+       derivation match independent recomputations of the documented
+       construction;
+    3. the full chain is deterministic and challenge-order dependent.
+    """
+    import hashlib
+
+    from tfhe_tpu.zk import transcript as tr
+    from tfhe_tpu.zk.curve import G1, R as ZP
+
+    # (1) reference unit-test vectors, copied verbatim from hashes.rs
+    assert tr.encode_proven_zero_bits_anybit_anyslot(1, 1 << 5, 6) == bytes(
+        [0b11101111, 0b10111101, 0b11110111, 0b11110])
+    assert tr.encode_proven_zero_bits_anybit_anyslot(2, 1 << 9, 3) == bytes(
+        [0b1111111, 0b11111110, 0b11111100, 0b1])
+
+    # (2a) scalar derivation: 56-byte read, top limb masked to 42 bits,
+    # then * 2^-128 mod r (Zp::hash / from_raw_u64x7)
+    (got,) = tr.zp_hash([b"abc"], 1)
+    raw = hashlib.shake_256(b"abc").digest(56)
+    u = int.from_bytes(raw, "little") & ((1 << 426) - 1)
+    assert got == u * pow(1 << 128, -1, ZP) % ZP
+    # 128-bit scalars are plain 16-byte reads
+    assert tr.zp_hash_128([b"abc"], 1) == [
+        int.from_bytes(hashlib.shake_256(b"abc").digest(16), "little")]
+
+    # (2b) Montgomery byte encodings (arkworks Fp limbs)
+    assert tr.zp_bytes(1) == ((1 << 320) % ZP).to_bytes(40, "little")
+    gb = tr.g1_bytes(G1(G1.GEN))
+    assert len(gb) == 113 and gb[-1] == 0
+    assert tr.g1_bytes(G1.zero())[-1] == 1
+
+    # (2c) ternary stream mapping {0,1->0, 2->1, 3->-1} and base-3 pack
+    R = tr.gen_R([b"seed"], 128, 4)
+    stream = hashlib.shake_256(b"seed").digest(128 * 4)
+    want = [{0: 0, 1: 0, 2: 1, 3: -1}[b & 3] for b in stream]
+    assert R == want
+    # digits are (value + 1): [1,-1,0,0,0] -> [2,0,1,1,1] base-3 LE
+    assert tr.encode_R_compact([1, -1, 0, 0, 0]) == bytes(
+        [2 * 1 + 0 * 3 + 1 * 9 + 1 * 27 + 1 * 81])
+    assert tr.encode_R_compact([0] * 5) == bytes([1 + 3 + 9 + 27 + 81])
+
+    # (2d) Compact mode: scalar1 powers, bytes = Montgomery(scalar1)
+    vals, b1 = tr.gen_scalars_compact([b"x"], 5)
+    (s1,) = tr.zp_hash([b"x"], 1)
+    assert vals == [1, s1, s1 * s1 % ZP, pow(s1, 3, ZP), pow(s1, 4, ZP)]
+    assert b1 == tr.zp_bytes(s1)
+
+    # (3) chain determinism + order dependence
+    ds = tr.separators_from_crs_ds(b"test-ds")
+    def chain(meta):
+        t = tr.PkeV2Transcript(ds, b"\x00" * 16, meta, b"xbytes",
+                               D=10, m=3, n=394, k=1, d=8)
+        t.gen_R(b"A", b"B", b"C")
+        phi = t.gen_phi(b"D")
+        xi = t.gen_xi(b"E")
+        return phi, xi
+    assert chain(b"m1") == chain(b"m1")
+    assert chain(b"m1") != chain(b"m2")
+
+
 def test_poly_mul_kronecker_matches_schoolbook():
     import random
 

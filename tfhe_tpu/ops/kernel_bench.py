@@ -368,23 +368,40 @@ def bench_keyswitch(params=None, batch: int = 4096, lo: int = 2,
             out = c
             for _ in range(n_loops):
                 ks = keyswitch_mxu(out, ksk_i8, p.ks_base_log, p.ks_level)
-                # fold the result back into the input so iterations chain
+                # fold the result into EVERY input coordinate: with only
+                # the first n_out+1 coords updated (the r5 version), the
+                # decomposition of the untouched mask tail was identical
+                # across iterations and XLA CSE'd it away — the marginal
+                # loop cost collapsed and the row claimed 1.8x the int8
+                # MXU peak. The LCG mix (~0.1 ms vs the ~3 ms KS) makes
+                # every iteration's input distinct.
+                out = out * jnp.uint64(6364136223846793005) + jnp.uint64(1)
                 out = out.at[..., : n_out + 1].add(ks)
-            return out
+            # scalar reduction: fetching the raw [B, n_in+1] output (67 MB)
+            # over the tunnel cost ~2.5 s per point and drowned the delta
+            return out.sum()
 
         return jax.jit(many)
 
-    t_lo = _time_fn(make(lo), ct)
-    t_hi = _time_fn(make(hi), ct)
-    t = max(t_hi - t_lo, 1e-12) / (hi - lo)
+    # min-of-reps two-point with the physicality gate (the r4/r5 fused-step
+    # lesson: tunnel jitter degenerates median two-point deltas; the r5
+    # keyswitch row shipped 1.9e25 MAC/s before this gate existed here).
+    # Bounds: a batch-4096 KS is ~34 G int8-MACs; [0.1 ms, 10 s] per loop.
+    t_lo = _time_fn(make(lo), ct, reduce="min")
+    t_hi = _time_fn(make(hi), ct, reduce="min")
+    t = _checked_per_unit(t_lo, t_hi, hi - lo, "keyswitch_mxu",
+                          1e-4, 10.0)
     macs = batch * (n_in * p.ks_level) * ((n_out + 1) * 8)
-    return {
+    row = {
         "metric": "keyswitch_mxu",
         "value": macs / t,
         "unit": "int8-MAC/s",
         "mxu_fraction": macs / t / MXU_INT8_PEAK,
         "ks_per_s": batch / t,
     }
+    if row["mxu_fraction"] > 1.0:
+        raise RuntimeError(f"keyswitch_mxu above int8 peak: {row}")
+    return row
 
 
 def bench_ntt_jnp(n: int = 16384, num_primes: int = 5, batch: int = 8,

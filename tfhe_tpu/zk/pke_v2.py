@@ -16,9 +16,15 @@ Structure preserved from the reference:
 - witness layout w = (e1 | e2 | v | r1 | r2), binary vector
   w_bin = (rev(r != 0) | m bits | bits of w_R), w_R = R.w.
 - challenge chain gamma -> R -> phi -> xi -> y -> t -> theta -> omega ->
-  delta[7] -> z -> chi with each hash binding all prior commitments
-  (pke_v2/hashes.rs; byte-level transcript compat with the Rust sha3
-  construction is not a goal, the binding structure is).
+  delta[7] -> z -> chi with each hash binding all prior commitments.
+  Every challenge is derived through zk/transcript.py, a byte-for-byte
+  mirror of the Rust sha3 framing (pke_v2/hashes.rs typestate chain,
+  config V0_8_0 Compact; arkworks Montgomery-limb point/scalar byte
+  encodings) — given equal domain-separator/sid/commitment bytes the
+  scalars equal the reference's. The separators themselves are drawn
+  from the reference CRS's rng there, so equal-VALUE interop requires
+  importing a reference CRS's separators (transcript.separators_from_
+  crs_ds covers self-generated CRS deterministically).
 - ComputeLoad::Proof layout (C_hat_h3 / C_hat_w carried in the proof) and
   the TwoSteps verification equations (50)/(51).
 
@@ -40,10 +46,8 @@ from .pke import (
     _compute_r2,
     _hash_to_scalars,
     _ilog2,
-    _ints_bytes,
     _msm_g1,
     _poly_mul_mod,
-    _scalars_bytes,
 )
 
 _GHL_FACTOR_X10000 = 950625  # 9.75^2 * 10^4 (pke_v2/mod.rs:655)
@@ -173,22 +177,6 @@ def _msm_g2(points: Sequence[G2], scalars: Sequence[int]) -> G2:
     return curve_msm((s, p) for p, s in zip(points, scalars))
 
 
-def _hash_r_matrix(tag: bytes, chunks: Sequence[bytes], rows: int,
-                   cols: int) -> List[int]:
-    """{0: 1/2, +1: 1/4, -1: 1/4} entries, column-major flat list
-    (pke_v2/hashes.rs:446-462). R[i + j*128]."""
-    h = hashlib.shake_256()
-    h.update(tag)
-    for c in chunks:
-        h.update(len(c).to_bytes(8, "little") + c)
-    raw = h.digest(rows * cols)
-    out = []
-    for byte in raw:
-        two = byte & 0b11
-        out.append(0 if two < 2 else (1 if two == 2 else -1))
-    return out
-
-
 def _poly_mul_zp(a: List[int], b: List[int]) -> List[int]:
     """Product over Zp (Kronecker substitution; see pke._poly_mul_mod)."""
     return _poly_mul_mod(a, b, ZP)
@@ -255,10 +243,20 @@ def _compute_a_theta_v2(crs: PkeV2Crs, theta: List[int], a, b_poly,
     return out
 
 
-def _statement_bytes(crs: PkeV2Crs, a, b_poly, c1, c2) -> bytes:
-    return (crs.tag(b"x") + crs.sid.to_bytes(16, "little")
-            + _ints_bytes(a) + _ints_bytes(b_poly)
-            + _ints_bytes(c1) + _ints_bytes(c2))
+def _make_transcript(crs: PkeV2Crs, metadata: bytes, a, b_poly, c1, c2,
+                     k: int, D: int, mb: int):
+    """The reference-framed Fiat-Shamir transcript (hashes.rs chain,
+    config V0_8_0 Compact — see zk/transcript.py) bound to this CRS and
+    statement. Both prove() and verify() derive every challenge through
+    this object, so the framing IS the reference's byte layout."""
+    from . import transcript as tr
+
+    ds = tr.separators_from_crs_ds(crs.ds)
+    xb = tr.statement_bytes(crs.q, crs.d, k, crs.b_inf, crs.t,
+                            crs.pad_bits, a, b_poly, c1, c2)
+    return tr.PkeV2Transcript(
+        ds, crs.sid.to_bytes(16, "little"), metadata, xb,
+        D=D, m=mb, n=crs.n, k=k, d=crs.d)
 
 
 def prove(crs: PkeV2Crs, public, private, metadata: bytes = b"",
@@ -320,11 +318,10 @@ def prove(crs: PkeV2Crs, public, private, metadata: bytes = b"",
     r12 = [x % ZP for x in (list(r1) + list(r2))]
     C_r_tilde = gamma_r * g + _msm_g1(gl[1: d + k + 1], r12)
 
-    xb = _statement_bytes(crs, a, b_poly, c1, c2)
-    base_chunks = [metadata, xb, C_hat_e.to_bytes(), C_e.to_bytes(),
-                   C_r_tilde.to_bytes()]
+    from .transcript import g1_bytes, g2_bytes
 
-    Rm = _hash_r_matrix(crs.tag(b"R"), base_chunks, 128, 2 * (d + k) + 4)
+    tr = _make_transcript(crs, metadata, a, b_poly, c1, c2, k, D, mb)
+    Rm = tr.gen_R(g2_bytes(C_hat_e), g1_bytes(C_e), g1_bytes(C_r_tilde))
 
     w_R = []
     for i in range(128):
@@ -339,8 +336,7 @@ def prove(crs: PkeV2Crs, public, private, metadata: bytes = b"",
 
     C_R = gamma_R * g + _msm_g1(gl[1:129], [x % ZP for x in w_R])
 
-    chunks = base_chunks + [C_R.to_bytes()]
-    phi = _hash_to_scalars(crs.tag(b"phi"), chunks, 128)
+    phi = tr.gen_phi(g1_bytes(C_R))
 
     # bit decomposition of w_R (two's complement over mb bits)
     w_R_bin: List[bool] = []
@@ -356,24 +352,22 @@ def prove(crs: PkeV2Crs, public, private, metadata: bytes = b"",
         [gamma_bin * g_hat]
         + [gh[j + 1] for j, wb in enumerate(w_bin) if wb])
 
-    chunks = chunks + [C_hat_bin.to_bytes()]
-    xi = _hash_to_scalars(crs.tag(b"xi"), chunks, 128)
-    y = _hash_to_scalars(crs.tag(b"y"), chunks, L)
+    xi = tr.gen_xi(g2_bytes(C_hat_bin))
+    y = tr.gen_y()
 
     C_y = gamma_y * g + _msm_g1(
         [gl[n - j] for j in range(L)],
         [y[j] if w_bin[j] else 0 for j in range(L)])
 
-    chunks = chunks + [C_y.to_bytes()]
-    t = _hash_to_scalars(crs.tag(b"t"), chunks, n)
-    theta = _hash_to_scalars(crs.tag(b"theta"), chunks, d + k)
+    t = tr.gen_t(g1_bytes(C_y))
+    theta = tr.gen_theta()
 
     a_theta = _compute_a_theta_v2(crs, theta, a, b_poly, k, D)
     t_theta = sum(th * (c % ZP) for th, c in
                   zip(theta, list(c1) + list(c2))) % ZP
 
-    omega = _hash_to_scalars(crs.tag(b"omega"), chunks, n)
-    deltas = _hash_to_scalars(crs.tag(b"delta"), chunks, 7)
+    omega = tr.gen_omega()
+    deltas = tr.gen_delta()
     delta_r, delta_dec, delta_eq, delta_y, delta_theta, delta_e, delta_l = \
         deltas
     delta_theta_q = delta_theta * (q % ZP) % ZP
@@ -511,9 +505,8 @@ def prove(crs: PkeV2Crs, public, private, metadata: bytes = b"",
 
     C_hat_t = _msm_g2(gh[1: n + 1], t)
 
-    chunks = chunks + [C_h1.to_bytes(), C_h2.to_bytes(), C_hat_t.to_bytes(),
-                       C_hat_h3.to_bytes(), C_hat_w.to_bytes()]
-    (z,) = _hash_to_scalars(crs.tag(b"z"), chunks, 1)
+    z = tr.gen_z(g1_bytes(C_h1), g1_bytes(C_h2), g2_bytes(C_hat_t),
+                 g2_bytes(C_hat_h3), g2_bytes(C_hat_w))
 
     # the five opened polynomials and their evaluations at z
     P_h1 = [0] * (1 + n)
@@ -537,9 +530,7 @@ def prove(crs: PkeV2Crs, public, private, metadata: bytes = b"",
     p_h1, p_h2, p_t = (eval_at(P_h1, z), eval_at(P_h2, z), eval_at(P_t, z))
     p_h3, p_omega = eval_at(P_h3, z), eval_at(P_omega, z)
 
-    (chi,) = _hash_to_scalars(
-        crs.tag(b"chi"),
-        chunks + [_scalars_bytes([z, p_h1, p_h2, p_t, p_h3, p_omega])], 1)
+    chi = tr.gen_chi(p_h1, p_h2, p_t, p_h3, p_omega)
     chi2 = chi * chi % ZP
     chi3 = chi2 * chi % ZP
     chi4 = chi3 * chi % ZP
@@ -583,24 +574,21 @@ def verify(proof: PkeV2Proof, crs: PkeV2Crs, public,
     gl, gh = crs.g_list, crs.g_hat_list
     g, g_hat = G1.generator(), G2.generator()
 
-    xb = _statement_bytes(crs, a, b_poly, c1, c2)
-    base_chunks = [metadata, xb, proof.C_hat_e.to_bytes(),
-                   proof.C_e.to_bytes(), proof.C_r_tilde.to_bytes()]
-    Rm = _hash_r_matrix(crs.tag(b"R"), base_chunks, 128, 2 * (d + k) + 4)
+    from .transcript import g1_bytes, g2_bytes
 
-    chunks = base_chunks + [proof.C_R.to_bytes()]
-    phi = _hash_to_scalars(crs.tag(b"phi"), chunks, 128)
-    chunks = chunks + [proof.C_hat_bin.to_bytes()]
-    xi = _hash_to_scalars(crs.tag(b"xi"), chunks, 128)
-    y = _hash_to_scalars(crs.tag(b"y"), chunks, L)
-    chunks = chunks + [proof.C_y.to_bytes()]
-    t = _hash_to_scalars(crs.tag(b"t"), chunks, n)
-    theta = _hash_to_scalars(crs.tag(b"theta"), chunks, d + k)
+    tr = _make_transcript(crs, metadata, a, b_poly, c1, c2, k, D, mb)
+    Rm = tr.gen_R(g2_bytes(proof.C_hat_e), g1_bytes(proof.C_e),
+                  g1_bytes(proof.C_r_tilde))
+    phi = tr.gen_phi(g1_bytes(proof.C_R))
+    xi = tr.gen_xi(g2_bytes(proof.C_hat_bin))
+    y = tr.gen_y()
+    t = tr.gen_t(g1_bytes(proof.C_y))
+    theta = tr.gen_theta()
     a_theta = _compute_a_theta_v2(crs, theta, a, b_poly, k, D)
     t_theta = sum(th * (c % ZP) for th, c in
                   zip(theta, list(c1) + list(c2))) % ZP
-    omega = _hash_to_scalars(crs.tag(b"omega"), chunks, n)
-    deltas = _hash_to_scalars(crs.tag(b"delta"), chunks, 7)
+    omega = tr.gen_omega()
+    deltas = tr.gen_delta()
     delta_r, delta_dec, delta_eq, delta_y, delta_theta, delta_e, delta_l = \
         deltas
     delta_theta_q = delta_theta * (q % ZP) % ZP
@@ -612,10 +600,9 @@ def verify(proof: PkeV2Proof, crs: PkeV2Crs, public,
         r_ = delta_dec * xi[blk] % ZP * pow(2, pos, ZP) % ZP
         return (-r_) % ZP if pos == mb - 1 else r_
 
-    chunks = chunks + [proof.C_h1.to_bytes(), proof.C_h2.to_bytes(),
-                       proof.C_hat_t.to_bytes(), proof.C_hat_h3.to_bytes(),
-                       proof.C_hat_w.to_bytes()]
-    (z,) = _hash_to_scalars(crs.tag(b"z"), chunks, 1)
+    z = tr.gen_z(g1_bytes(proof.C_h1), g1_bytes(proof.C_h2),
+                 g2_bytes(proof.C_hat_t), g2_bytes(proof.C_hat_h3),
+                 g2_bytes(proof.C_hat_w))
 
     # recompute the opened evaluations at z
     P_h1 = [0] * (1 + n)
@@ -652,9 +639,7 @@ def verify(proof: PkeV2Proof, crs: PkeV2Crs, public,
     p_h1, p_h2, p_t = (eval_at(P_h1, z), eval_at(P_h2, z), eval_at(P_t, z))
     p_h3, p_omega = eval_at(P_h3, z), eval_at(P_omega, z)
 
-    (chi,) = _hash_to_scalars(
-        crs.tag(b"chi"),
-        chunks + [_scalars_bytes([z, p_h1, p_h2, p_t, p_h3, p_omega])], 1)
+    chi = tr.gen_chi(p_h1, p_h2, p_t, p_h3, p_omega)
     chi2 = chi * chi % ZP
     chi3 = chi2 * chi % ZP
     chi4 = chi3 * chi % ZP
