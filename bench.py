@@ -158,8 +158,19 @@ def integer_main():
     from tfhe_tpu.keycache import get_shortint_keys
     from tfhe_tpu.utils.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
 
-    B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    only = set(sys.argv[3:])
+    # [B] is optional before the op filter: `--integer div` == `--integer 32 div`
+    rest = sys.argv[2:]
+    if rest and rest[0].isdigit():
+        B = int(rest[0])
+        only = set(rest[1:])
+    else:
+        B = 32
+        only = set(rest)
+    known = {"add", "mul", "bitand", "eq", "div"}
+    unknown = only - known
+    if unknown:
+        raise SystemExit(f"unknown integer ops {sorted(unknown)}; "
+                         f"choose from {sorted(known)}")
     sck, ssk = get_shortint_keys(P, seed=42)
     ck = ClientKey(sck)
     sk = ServerKey(ssk)

@@ -114,6 +114,10 @@ def get_bls_lib():
     try:
         lib = ctypes.CDLL(_BLS_SO)
         for pre in ("g1", "g2"):
+            # a stale prebuilt .so (packaged install without sources, or a
+            # failed rebuild falling back to the old artifact) may lack
+            # exports: AttributeError must mean "no native path", not a
+            # crash in every zk caller
             fp = getattr(lib, f"{pre}_fixed_powers")
             fp.argtypes = [_u64p, _u64p, ctypes.c_longlong, ctypes.c_int,
                            _u64p, _u8p]
@@ -133,6 +137,6 @@ def get_bls_lib():
             pe.argtypes = [_u64p, _u64p, _u64p, ctypes.c_int, _u64p]
             pe.restype = ctypes.c_int
         _bls_lib = lib
-    except OSError:
+    except (OSError, AttributeError):
         _bls_lib = None
     return _bls_lib

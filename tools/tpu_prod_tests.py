@@ -289,12 +289,13 @@ def strings_prod():
     tk = time.time() - t0
     s = sck.encrypt_ascii("tpu native")
     t1 = time.time()
+    # decrypt_bool returns a 0-dim scalar for a single block
     eq = bool(np.asarray(isk.decrypt_bool(
-        ick, ssk.eq(s, sck.encrypt_ascii("tpu native"))))[0])
+        ick, ssk.eq(s, sck.encrypt_ascii("tpu native")))).reshape(-1)[0])
     has = bool(np.asarray(isk.decrypt_bool(
-        ick, ssk.contains_clear(s, "nati")))[0])
+        ick, ssk.contains_clear(s, "nati"))).reshape(-1)[0])
     hasnt = bool(np.asarray(isk.decrypt_bool(
-        ick, ssk.contains_clear(s, "gpu")))[0])
+        ick, ssk.contains_clear(s, "gpu"))).reshape(-1)[0])
     record("strings eq + contains (production 2_2)",
            eq and has and not hasnt,
            f"keygen {tk:.0f}s; 3 ops {time.time()-t1:.1f}s")
@@ -333,11 +334,62 @@ def long_run_prod():
            ok, f"keygen {tk:.0f}s; chain {time.time()-t1:.1f}s")
 
 
+def noise_validation_prod():
+    """On-chip empirical v6 output-noise variance vs the closed form at
+    production 2_2 (tools/noise_prod_check.py; artifact NOISE_PROD_r05.json
+    — VERDICT r4 Missing #6). Run as a subprocess so its keygen/jit state
+    cannot perturb the other stages."""
+    import os
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "noise_prod_check.py")
+    try:
+        r = subprocess.run([sys.executable, script, "--batch", "2048"],
+                           capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        # a FAIL row, not an exception: aborting the chunk here would lose
+        # every already-finished stage's rows (the monolithic-run failure
+        # this chunked mode exists to prevent)
+        record("noise_validation_2_2_v6", False, "timeout after 1800s")
+        return
+    line = r.stdout.strip().split("\n")[-1] if r.stdout.strip() else "{}"
+    try:
+        rec = json.loads(line)
+    except json.JSONDecodeError:
+        rec = {}
+    record("noise_validation_2_2_v6",
+           r.returncode == 0 and rec.get("pass"),
+           f"emp/pred ratio {rec.get('ratio_emp_over_pred')}, "
+           f"{rec.get('samples')} samples, "
+           f"{rec.get('decrypt_correct')} decrypt-correct")
+
+
+def _shortint_stages():
+    from tfhe_tpu.utils.params import (
+        PARAM_MESSAGE_2_CARRY_2_KS_PBS,
+        PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM,
+    )
+
+    return {
+        "sweep_gaussian": lambda: shortint_sweep(
+            PARAM_MESSAGE_2_CARRY_2_KS_PBS, "2_2_gaussian_2M128"),
+        "sweep_tuniform": lambda: shortint_sweep(
+            PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM, "2_2_tuniform_2M128"),
+        "boolean": boolean_tables,
+        "integer": lambda: integer_oracle(PARAM_MESSAGE_2_CARRY_2_KS_PBS),
+        "compression": lambda: compression_roundtrip(
+            PARAM_MESSAGE_2_CARRY_2_KS_PBS),
+        "multibit": multibit_exhaustive,
+    }
+
+
 STAGES = {
     "squash": lambda: noise_squashing_prod(),
     "wopbs": lambda: wopbs_prod(),
     "strings": lambda: strings_prod(),
     "longrun": lambda: long_run_prod(),
+    "noise": lambda: noise_validation_prod(),
 }
 
 
@@ -353,18 +405,34 @@ def main():
 
     t0 = time.time()
     if only:
+        # chunked mode (the 2026-08-20 monolithic run blew a 90-min
+        # timeout and lost every finished stage's rows): run the named
+        # stages in this process, write/append TESTS_TPU.md incrementally.
+        # --fresh starts a new file (header), default appends.
+        all_stages = dict(STAGES)
+        all_stages.update(_shortint_stages())
         for s in only:
-            STAGES[s]()
-        # append-mode: add rows to the existing TESTS_TPU.md table
+            all_stages[s]()
         n_pass = sum(1 for _, ok, _ in results if ok)
-        with open(OUT, "a") as f:
-            f.write(f"\nExtension run {datetime.now(timezone.utc).isoformat(timespec='seconds')} "
+        fresh = "--fresh" in sys.argv
+        with open(OUT, "w" if fresh else "a") as f:
+            if fresh:
+                f.write("# TESTS_TPU — production-parameter test pass\n\n")
+                f.write(f"Backend: `{jax.default_backend()}` "
+                        f"({jax.devices()[0].device_kind if jax.devices() else '?'}); "
+                        "chunked stage runs (wall per chunk below).\n\n")
+                f.write("Mirrors shortint/server_key/tests/parameterized_"
+                        "test.rs (exhaustive input sweeps) at REAL "
+                        "parameters.\n")
+            f.write(f"\nChunk `{','.join(only)}` "
+                    f"{datetime.now(timezone.utc).isoformat(timespec='seconds')} "
                     f"({time.time()-t0:.0f}s wall):\n\n")
             f.write("| test | result | detail |\n|---|---|---|\n")
             for name, ok, detail in results:
                 f.write(f"| {name} | {'PASS' if ok else 'FAIL'} | {detail} |\n")
-            f.write(f"\n**{n_pass}/{len(results)} pass (extension)**\n")
-        print(f"\n{n_pass}/{len(results)} pass -> {OUT} (appended)")
+            f.write(f"\n**{n_pass}/{len(results)} pass (chunk)**\n")
+        print(f"\n{n_pass}/{len(results)} pass -> {OUT} "
+              f"({'fresh' if fresh else 'appended'})")
         sys.exit(0 if n_pass == len(results) else 1)
 
     shortint_sweep(PARAM_MESSAGE_2_CARRY_2_KS_PBS, "2_2_gaussian_2M128")
