@@ -67,7 +67,10 @@ def main():
 
     # batch scaling (approx-shoup v4, Bt=16): 1024 -> 824, 2048 -> 835
     # PBS/s; 2048 is the new knee
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    # default = the measured batch knee (1,962 @ 2048 -> 1,986 @ 4096 ->
+    # 1,998 @ 8192 PBS/s, BENCH_HISTORY 2026-08-20); throughput is the
+    # headline metric and the V80 reference point is batch-based too
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     ck, sk = get_shortint_keys(P, seed=42)
 
     mm = P.message_modulus

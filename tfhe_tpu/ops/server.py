@@ -661,7 +661,10 @@ def programmable_bootstrap_bnf2(
     levels: int,
     centered_ms: bool = True,
     extract_nth: int = 0,
-    batch_tile: int = 16,
+    # Bt=32 measured -3.4% on the rotation / +3.3% e2e vs 16 once the
+    # body-rotation prologue landed (2,064 vs 1,998 PBS/s at batch 8192,
+    # BENCH_HISTORY 2026-08-20); TFHE_BATCH_TILE still overrides
+    batch_tile: int = 32,
     input_torus_bits: int = 64,
     use_pallas: bool = True,
 ) -> jnp.ndarray:
