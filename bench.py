@@ -199,7 +199,10 @@ def integer_main():
         ("div", sk.div, lambda x, y: x // y),
     ]
     rng = np.random.default_rng(1)
-    for batch, kind in [(B, "throughput"), (1, "latency")]:
+    # B=0: latency-only pass (skip the batched throughput sweep)
+    kinds = [(1, "latency")] if B == 0 else [(B, "throughput"),
+                                            (1, "latency")]
+    for batch, kind in kinds:
         xs = rng.integers(0, 1 << 64, batch, dtype=np.uint64)
         ys = rng.integers(1, 1 << 64, batch, dtype=np.uint64)  # den != 0
         a = ck.encrypt_radix(xs, num_blocks=32)

@@ -703,6 +703,12 @@ def programmable_bootstrap_bnf2(
     lut_b = jnp.broadcast_to(lut, batch + lut.shape[-2:]).reshape(
         (B,) + lut.shape[-2:])
     if use_pallas:
+        # small batches keep the 16-tile: padding a single-op latency call
+        # out to the 32-wide throughput tile doubles its rotation work
+        # (fheuint64 latency rows regressed 2-6x when Bt=32 became the
+        # default, BENCH_HISTORY 2026-08-20)
+        if B <= 16:
+            batch_tile = min(batch_tile, 16)
         pad = (-B) % batch_tile
         if pad:
             ms_mask = jnp.concatenate([ms_mask, ms_mask[:pad]], 0)
