@@ -260,3 +260,103 @@ def test_bsk_b_roundtrip_derivation(v6_env):
     direct = np.asarray(b2.bootstrap_key_to_bnf2(np.asarray(bsk.data)))
     derived = np.asarray(sk.bsk_scan_b)
     np.testing.assert_array_equal(derived, direct)
+
+
+# ---------------------------------------------------------------------------
+# v6b FAST28 flavor (sub-2^29 lazy-reduction pair)
+# ---------------------------------------------------------------------------
+
+def test_fast28_switchback_spec():
+    """FAST28's generic-shift switch-back maps stay within the documented
+    error of the exact rounding (qp_to_torus undershoot and the centered
+    qp_to_torus32 error), and torus_to_qp is the exact round."""
+    fl = b2.FAST28
+    xs = np.concatenate([
+        rng.integers(0, fl.qp, 2000, dtype=np.uint64),
+        np.array([0, 1, fl.qp - 1], dtype=np.uint64)])
+    got = np.asarray(b2.qp_to_torus(jnp.asarray(xs), fl))
+    exact = np.array([(int(x) << 64) // fl.qp & ((1 << 64) - 1)
+                      for x in xs], dtype=np.uint64)
+    under = (exact - got).astype(np.int64)
+    assert under.min() >= 0 and under.max() < 1 << 10, (
+        under.min(), under.max())
+
+    r0 = xs % np.uint64(fl.p0)
+    r1 = xs % np.uint64(fl.p1)
+    merged = np.asarray(b2.crt2_merge(jnp.asarray(r0), jnp.asarray(r1), fl))
+    np.testing.assert_array_equal(merged, xs)
+    t32 = np.asarray(b2.qp_to_torus32(jnp.asarray(r0), jnp.asarray(r1), fl))
+    want32 = np.array([(int(x) * (1 << 32) + fl.qp // 2) // fl.qp
+                       for x in xs], dtype=np.uint64) & np.uint64(0xFFFFFFFF)
+    err32 = (want32.astype(np.int64) - t32.astype(np.int64))
+    err32 = (err32 + (1 << 31)) % (1 << 32) - (1 << 31)  # mod-2^32 wrap
+    assert abs(err32).max() <= 2, abs(err32).max()
+
+    bs = rng.integers(0, 1 << 64, 500, dtype=np.uint64)
+    got_q = np.asarray(b2.torus_to_qp(jnp.asarray(bs), fl))
+    want_q = np.array([((int(v) * fl.qp + (1 << 63)) >> 64) % fl.qp
+                       for v in bs], dtype=np.uint64)
+    np.testing.assert_array_equal(got_q, want_q)
+
+
+def _toy_inputs_fast28(batch=4, n_small=8, seed=3, p_n=256):
+    levels, R, blog = 1, 2, 23
+    r = np.random.default_rng(seed)
+    lut = r.integers(0, 1 << 64, size=(batch, R, p_n), dtype=np.uint64)
+    mask = r.integers(0, 2 * p_n, size=(batch, n_small), dtype=np.uint64)
+    body = r.integers(0, 2 * p_n, size=(batch,), dtype=np.uint64)
+    bsk_std = r.integers(0, 1 << 64,
+                         size=(n_small, levels, R, R, p_n), dtype=np.uint64)
+    bsk2 = b2.bootstrap_key_to_bnf2(bsk_std, flavor=b2.FAST28)
+    return lut, mask, body, bsk2, blog, levels
+
+
+def test_blind_rotate_fast28_parity_exact_acc(monkeypatch):
+    """v6b kernel (FAST28 lazy reduction, interpret mode, exact acc) ==
+    the flavor-generic jnp oracle, bit-exact — proves the lazy 4p-bound
+    arithmetic is exact and the generic-shift tail matches the spec."""
+    monkeypatch.setenv("TFHE_V4_ACC", "64")
+    lut, mask, body, bsk2, blog, levels = _toy_inputs_fast28()
+    want = np.asarray(b2.blind_rotate_bnf2(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels, flavor=b2.FAST28))
+    got = np.asarray(pk.blind_rotate_pallas(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels, b2.FAST28.plan(256), batch_tile=2, unroll=2,
+        bnf2=True, bnf2_flavor=b2.FAST28))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_blind_rotate_fast28_parity_acc32(monkeypatch):
+    monkeypatch.delenv("TFHE_V4_ACC", raising=False)
+    lut, mask, body, bsk2, blog, levels = _toy_inputs_fast28(seed=21)
+    want = np.asarray(b2.blind_rotate_bnf2(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels, acc_round32=True, flavor=b2.FAST28))
+    got = np.asarray(pk.blind_rotate_pallas(
+        jnp.asarray(lut), jnp.asarray(mask), jnp.asarray(body), bsk2,
+        blog, levels, b2.FAST28.plan(256), batch_tile=2, unroll=2,
+        bnf2=True, bnf2_flavor=b2.FAST28))
+    np.testing.assert_array_equal(got, want)
+    assert (got & np.uint64((1 << 32) - 1)).max() == 0
+
+
+def test_apply_lookup_table_v6b(monkeypatch):
+    """End-to-end shortint under TFHE_NTT_VARIANT=v6b (FAST28 lazy
+    kernel): variant resolution (incl. the noise-margin gate at the
+    larger 2^-57 rescale noise) and exhaustive LUT decrypt."""
+    monkeypatch.setenv("TFHE_NTT_VARIANT", "v6b")
+    from tfhe_tpu.shortint.client_key import ClientKey
+    from tfhe_tpu.shortint.server_key import ServerKey
+    from tfhe_tpu.utils.params import PARAM_TEST_TOY as p
+
+    ck = ClientKey.generate(p, seed=11)
+    sk = ServerKey.generate(ck)
+    assert sk.ntt_variant == "v6b"
+    mm = p.message_modulus
+    lut = sk.generate_lookup_table(lambda x: (x * x + 1) % mm)
+    ct = ck.encrypt(np.arange(mm, dtype=np.uint64))
+    out = sk.apply_lookup_table(ct, lut)
+    got = np.asarray(ck.decrypt(out))
+    want = (np.arange(mm, dtype=np.uint64) ** 2 + 1) % mm
+    np.testing.assert_array_equal(got, want)

@@ -170,8 +170,9 @@ def test_variant_noise_margin_gate():
     )
 
     assert variant_noise_margin_ok(P22, "v6")
+    assert variant_noise_margin_ok(P22, "v6b")
     assert resolve_variant(P22.polynomial_size, P22.pbs_base_log,
-                           P22.pbs_level, params=P22) == "v6"
+                           P22.pbs_level, params=P22) == "v6b"
 
     deep = replace(
         P22, pbs_base_log=1, pbs_level=31,

@@ -87,6 +87,64 @@ C1T: int = (1 << 60) // P1
 T32_BIAS: int = 4
 
 
+class Bnf2Flavor:
+    """A (p0, p1) prime pair plus every derived switch-back constant of the
+    BNF arithmetic model, generalizing the module-level constants (which
+    remain the DEFAULT ~30-bit flavor, bit-for-bit).
+
+    The torus switch t = round(x * 2^64 / q') is computed as
+    (x << S1) + cross-terms >> S2 with S1 = 64 - SHIFT, S2 = SHIFT - 32,
+    SHIFT = ceil(log2 q'), F = floor(2^(64+SHIFT)/q') = 2^64 + G; the pair
+    must satisfy F - 2^64 in (0, 2^60) (a ~0.09-bit window below each
+    power of two). The DEFAULT pair has SHIFT=60 (S1=4, S2=28 — the
+    literals the kernel used before this class existed).
+
+    ``lazy`` = 8*max(p) < 2^32: the kernel may defer reductions (enter
+    the group stages at < 4p, skip the MAC chain condsub) — the v6b
+    sub-2^29 pair FAST28 qualifies, the default ~2^30 pair does not.
+    """
+
+    def __init__(self, p0: int, p1: int, t32_bias: int):
+        assert p0 < 2 * p1, "crt merge needs r0 < 2*p1"
+        self.p0, self.p1 = p0, p1
+        self.qp = p0 * p1
+        self.shift = (self.qp - 1).bit_length()
+        assert (1 << (self.shift - 1)) < self.qp <= (1 << self.shift)
+        self.s1 = 64 - self.shift
+        self.s2 = self.shift - 32
+        self.inv01 = pow(p0, p1 - 2, p1)
+        self.inv01_sh = (self.inv01 << 32) // p1
+        self.g_const = (1 << (64 + self.shift)) // self.qp - (1 << 64)
+        assert 0 < self.g_const < (1 << 60), hex(self.g_const)
+        self.g1 = self.g_const >> 32
+        self.g0 = self.g_const & _M32
+        self.c1t = (1 << 60) // p1
+        assert self.c1t < (1 << 32) and p1 * self.c1t < (1 << 60)
+        self.t32_bias = t32_bias
+        self.lazy = 8 * max(p0, p1) < (1 << 32)
+        self.primes = (p0, p1)
+
+    def plan(self, n: int) -> ntt_mod.NegacyclicNtt:
+        return ntt_mod.get_plan(n, 2, primes=self.primes)
+
+
+#: the shipped v6 flavor — the module-level constants verbatim (checked)
+DEFAULT = Bnf2Flavor(P0, P1, T32_BIAS)
+assert (DEFAULT.qp, DEFAULT.inv01, DEFAULT.inv01_sh, DEFAULT.g_const,
+        DEFAULT.g1, DEFAULT.g0, DEFAULT.c1t, DEFAULT.s1, DEFAULT.s2) == (
+    QP, INV01, INV01_SH, G_CONST, G1, G0, C1T, 4, 28)
+assert not DEFAULT.lazy
+
+#: v6b: sub-2^29 pair (q' ~ 2^56.9998) enabling lazy in-kernel reduction
+#: (8p < 2^32). Rescale noise grows (QP/QP28)^2 = 64x over DEFAULT —
+#: std ~2^40.9 absolute, still far below the >= 2^47 intrinsic PBS noise
+#: (bnf_blind_rotate_extra_variance covers it via transform_modulus; the
+#: variant_noise_margin_ok gate enforces the budget per parameter set).
+#: t32_bias=1 centers the measured [0, 3] switch-back undershoot.
+FAST28 = Bnf2Flavor(0x163B0001, 0x17080001, t32_bias=1)
+assert FAST28.lazy and FAST28.s1 == 7 and FAST28.s2 == 25
+
+
 def get_plan2(n: int) -> ntt_mod.NegacyclicNtt:
     """The 2-prime transform plan for polynomial size ``n``."""
     return ntt_mod.get_plan(n, 2)
@@ -106,15 +164,17 @@ def eligible(n: int, base_log: int, levels: int) -> bool:
 # scalar maps (jnp u64, vectorized) — the oracle spec
 # ---------------------------------------------------------------------------
 
-def torus_to_qp(b: jnp.ndarray) -> jnp.ndarray:
-    """round(b * QP / 2^64) for torus values b mod 2^64; output in [0, QP).
+def torus_to_qp(b: jnp.ndarray, flavor: "Bnf2Flavor" = None) -> jnp.ndarray:
+    """round(b * q' / 2^64) for torus values b mod 2^64; output in [0, q').
 
     The one-time BSK embedding (analog of ntt64.rs:166
-    ``modswitch_from_power_of_two_to_ntt_prime``). b < 2^64 and QP < 2^60,
-    so the result is < QP except for b within ~2^4 of 2^64, where the
-    round can reach exactly QP — folded back to 0 (same class mod q')."""
+    ``modswitch_from_power_of_two_to_ntt_prime``). b < 2^64 and q' < 2^60
+    (so q'>>32 < 2^28 and the mid-limb sum is exact), and the result is
+    < q' except for b within a few ulp of 2^64, where the round can reach
+    exactly q' — folded back to 0 (same class mod q')."""
+    fl = flavor or DEFAULT
     b = jnp.asarray(b, dtype=_U64)
-    q = _U64(QP)
+    q = _U64(fl.qp)
     qh = q >> _U64(32)
     ql = q & _U64(_M32)
     bh = b >> _U64(32)
@@ -130,16 +190,19 @@ def torus_to_qp(b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(out >= q, out - q, out)
 
 
-def crt2_merge(r0: jnp.ndarray, r1: jnp.ndarray) -> jnp.ndarray:
-    """Canonical residues (r0 mod P0, r1 mod P1) -> x in [0, QP) u64."""
+def crt2_merge(r0: jnp.ndarray, r1: jnp.ndarray,
+               flavor: "Bnf2Flavor" = None) -> jnp.ndarray:
+    """Canonical residues (r0 mod p0, r1 mod p1) -> x in [0, q') u64."""
+    fl = flavor or DEFAULT
     r0 = r0.astype(_U64)
     r1 = r1.astype(_U64)
-    d = jnp.remainder(r1 + _U64(P1) - r0, _U64(P1))
-    v1 = jnp.remainder(d * _U64(INV01), _U64(P1))  # < 2^60 product: exact
-    return r0 + _U64(P0) * v1
+    d = jnp.remainder(r1 + _U64(fl.p1) - r0, _U64(fl.p1))
+    v1 = jnp.remainder(d * _U64(fl.inv01), _U64(fl.p1))  # < 2^60: exact
+    return r0 + _U64(fl.p0) * v1
 
 
-def qp_to_torus32(r0: jnp.ndarray, r1: jnp.ndarray) -> jnp.ndarray:
+def qp_to_torus32(r0: jnp.ndarray, r1: jnp.ndarray,
+                  flavor: "Bnf2Flavor" = None) -> jnp.ndarray:
     """acc32 switch-back, fused with the CRT merge: canonical residues
     (r0 mod P0, r1 mod P1) -> hi-plane torus value (u32 inside u64)
 
@@ -156,35 +219,40 @@ def qp_to_torus32(r0: jnp.ndarray, r1: jnp.ndarray) -> jnp.ndarray:
     increment to a multiple of 2^32 anyway. |error| <= ~4 units of 2^32
     after the +T32_BIAS centering — below the acc32 rounding noise
     (std 2^32/sqrt(12) per step) that the mode already accepts."""
+    fl = flavor or DEFAULT
     r0 = jnp.asarray(r0, dtype=_U64)
     r1 = jnp.asarray(r1, dtype=_U64)
-    d = jnp.remainder(r1 + _U64(2 * P1) - r0, _U64(P1))
-    v1 = jnp.remainder(d * _U64(INV01), _U64(P1))
-    t = ((v1 * _U64(C1T)) >> _U64(28)) + (r0 >> _U64(28)) + _U64(T32_BIAS)
+    d = jnp.remainder(r1 + _U64(2 * fl.p1) - r0, _U64(fl.p1))
+    v1 = jnp.remainder(d * _U64(fl.inv01), _U64(fl.p1))
+    t = ((v1 * _U64(fl.c1t)) >> _U64(28)) + (r0 >> _U64(fl.s2)) \
+        + _U64(fl.t32_bias)
     return t & _U64(_M32)
 
 
-def qp_to_torus(x: jnp.ndarray) -> jnp.ndarray:
-    """Switch x in [0, QP) back to the 2^64 torus.
+def qp_to_torus(x: jnp.ndarray, flavor: "Bnf2Flavor" = None) -> jnp.ndarray:
+    """Switch x in [0, q') back to the 2^64 torus.
 
-    SPEC formula (the Pallas kernel matches it bit for bit):
-        t = (x << 4) + ((x0*G1 + x1*G0) >> 28) + ((x1*G1) << 4)  mod 2^64
+    SPEC formula (the Pallas kernel matches it bit for bit), with
+    S1 = 64 - SHIFT, S2 = SHIFT - 32 (DEFAULT: 4 / 28):
+        t = (x << S1) + ((x0*G1 + x1*G0) >> S2) + ((x1*G1) << S1)  mod 2^64
     with x = x1*2^32 + x0. Undershoots round(x * 2^64 / QP) by at most
     ~18 (dropped x0*G0 term + floor); the deficit is pure noise at torus
     scale (see module docstring)."""
+    fl = flavor or DEFAULT
     x = jnp.asarray(x, dtype=_U64)
     x0 = x & _U64(_M32)
     x1 = x >> _U64(32)
-    s = x0 * _U64(G1) + x1 * _U64(G0)  # < 2^61: exact
-    d = x1 * _U64(G1)  # < 2^55: exact
-    return (x << _U64(4)) + (s >> _U64(28)) + (d << _U64(4))
+    s = x0 * _U64(fl.g1) + x1 * _U64(fl.g0)  # < 2^61: exact
+    d = x1 * _U64(fl.g1)  # < 2^55: exact
+    return (x << _U64(fl.s1)) + (s >> _U64(fl.s2)) + (d << _U64(fl.s1))
 
 
 # ---------------------------------------------------------------------------
 # BSK preparation
 # ---------------------------------------------------------------------------
 
-def bootstrap_key_to_bnf2(bsk: np.ndarray) -> jnp.ndarray:
+def bootstrap_key_to_bnf2(bsk: np.ndarray,
+                          flavor: "Bnf2Flavor" = None) -> jnp.ndarray:
     """Standard-domain BSK u64[n, l, R, R, N] (torus mod 2^64) -> v6
     NTT-domain scan layout u32[n, 2, 2, l*R, R, N] (residue+shoup planes,
     2 primes), directly consumable by ``pbs_kernel.blind_rotate_pallas``.
@@ -198,11 +266,12 @@ def bootstrap_key_to_bnf2(bsk: np.ndarray) -> jnp.ndarray:
 
     bsk = jnp.asarray(bsk, dtype=_U64)
     nlwe, l, R, R2, N = bsk.shape
-    plan = get_plan2(N)
+    fl = flavor or DEFAULT
+    plan = fl.plan(N)
 
     @jax.jit
     def fwd(x):
-        res = plan.fwd(torus_to_qp(x))  # [2, n, l, R, R, N] residues
+        res = plan.fwd(torus_to_qp(x, fl))  # [2, n, l, R, R, N] residues
         p = plan.p_like(res.ndim - 1)
         shoup = (res << jnp.uint64(32)) // p  # cold path (keygen only)
         return jnp.stack([res, shoup]).astype(jnp.uint32)
@@ -222,6 +291,7 @@ def blind_rotate_bnf2(
     base_log: int,
     levels: int,
     acc_round32: bool = False,
+    flavor: "Bnf2Flavor" = None,
 ) -> jnp.ndarray:
     """jnp oracle of the v6 kernel: blind rotation with external products
     computed mod q' (2-prime CRT), accumulator mod 2^64.
@@ -248,7 +318,8 @@ def blind_rotate_bnf2(
 
     N = lut.shape[-1]
     R = lut.shape[-2]
-    plan = get_plan2(N)
+    fl = flavor or DEFAULT
+    plan = fl.plan(N)
     nsteps = bsk_scan2.shape[0]
     # [2(res/shoup), 2(P), n, l, R, R, N] -> residues u64 [n, P, l*R, R, N]
     legacy = scan_to_legacy_layout(bsk_scan2, levels)
@@ -260,7 +331,7 @@ def blind_rotate_bnf2(
     r32 = lambda x: ((x + half) >> jnp.uint64(32)) << jnp.uint64(32)
     if acc_round32:
         acc = r32(acc)
-    p_arr = [jnp.uint64(P0), jnp.uint64(P1)]
+    p_arr = [jnp.uint64(fl.p0), jnp.uint64(fl.p1)]
 
     def body_fn(i, acc):
         a_i = lax.dynamic_index_in_dim(msed_mask, i, axis=-1, keepdims=False)
@@ -286,9 +357,10 @@ def blind_rotate_bnf2(
             # inverse expects [P, ..., N]
             r = plan.inv(jnp.stack(per_p))  # canonical residues
             if acc_round32:
-                res_c.append(qp_to_torus32(r[0], r[1]) << jnp.uint64(32))
+                res_c.append(qp_to_torus32(r[0], r[1], fl)
+                             << jnp.uint64(32))
             else:
-                res_c.append(qp_to_torus(crt2_merge(r[0], r[1])))
+                res_c.append(qp_to_torus(crt2_merge(r[0], r[1], fl), fl))
         inc = jnp.stack(res_c, axis=-2)  # [B, R, N]
         return acc + inc
 

@@ -142,12 +142,20 @@ class NegacyclicNtt:
     """Per-(N, num_primes) transform plan. Tables are numpy at build time and
     become jit-time constants when used inside jitted functions."""
 
-    def __init__(self, n: int, num_primes: int):
+    def __init__(self, n: int, num_primes: int, primes: tuple = None):
         assert n & (n - 1) == 0, "N must be a power of two"
-        assert 2 <= num_primes <= len(PRIMES32)
         self.n = n
+        if primes is None:
+            assert 2 <= num_primes <= len(PRIMES32)
+            primes = PRIMES32[:num_primes]
+        else:
+            # custom prime set (e.g. the v6b sub-2^29 lazy-reduction pair,
+            # ops/bnf2.py Bnf2Flavor): each must support the 2N-th root
+            assert len(primes) == num_primes
+            for p in primes:
+                assert (p - 1) % (2 * n) == 0, (p, n)
         self.num_primes = num_primes
-        self.primes = PRIMES32[:num_primes]
+        self.primes = tuple(primes)
         self.log_n = n.bit_length() - 1
         P = num_primes
 
@@ -402,5 +410,5 @@ class NegacyclicNtt:
 
 
 @functools.lru_cache(maxsize=None)
-def get_plan(n: int, num_primes: int) -> NegacyclicNtt:
-    return NegacyclicNtt(n, num_primes)
+def get_plan(n: int, num_primes: int, primes: tuple = None) -> NegacyclicNtt:
+    return NegacyclicNtt(n, num_primes, primes=primes)

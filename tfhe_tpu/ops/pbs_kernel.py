@@ -1197,8 +1197,13 @@ def _merged_limb_matrix_generic(M, p: int, nl_in: int, in_offset: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _get_tables_v4(n: int, num_primes: int, base_log: int) -> _KernelTablesV4:
-    return _KernelTablesV4(ntt_mod.get_plan(n, num_primes), base_log)
+def _get_tables_v4(n: int, num_primes: int, base_log: int,
+                   primes: tuple = None) -> _KernelTablesV4:
+    """``primes``: custom prime set (the v6b FAST28 flavor); None = the
+    leading PRIMES32 (v4/v6 default). The table builder is fully generic
+    over the plan's primes."""
+    return _KernelTablesV4(ntt_mod.get_plan(n, num_primes, primes=primes),
+                           base_log)
 
 
 def _split_digits_i8(d, nl_in: int, in_offset: int):
@@ -1219,32 +1224,45 @@ def _pair_fold_u(U):
             V1.astype(U32) + U32(0x80000000))
 
 
-def _fwd_ntt_v4(L, pi, t4c, p, p2, bt, G):
+def _fwd_ntt_v4(L, pi, t4c, p, p2, bt, G, lazy=False):
     """Forward transform from pre-split digit limbs.
 
     ``L``: [G*Bt, nl_in*128] int8.  Returns [G, Bt, 128] u32 < 2p in v4
     point order (lane = k mod 128, group g holds k1 = bitrev(g)).
     Group-leading layout: each [Bt, 128] slab is a native vreg tile, so the
     group-axis butterflies are whole-register selects (no sublane shuffles).
+    ``lazy`` (sub-2^29 primes only): outputs < 4p, one condsub fewer.
     """
     U = lax.dot_general(L, t4c["fwd_w8"][pi], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
-    return _fwd_tail_v4(U, pi, t4c, p, p2, bt, G)
+    return _fwd_tail_v4(U, pi, t4c, p, p2, bt, G, lazy=lazy)
 
 
-def _fwd_tail_v4(U, pi, t4c, p, p2, bt, G):
+def _fwd_tail_v4(U, pi, t4c, p, p2, bt, G, lazy=False):
     """Twiddle scaling + group-axis DIF stages applied to the raw int32
     lane-DFT matmul output ``U`` [G*Bt, 512] for one prime (the post-dot
     half of :func:`_fwd_ntt_v4`, split out so a caller can fuse several
-    polynomials/primes into one big matmul and feed per-prime slices)."""
+    polynomials/primes into one big matmul and feed per-prime slices).
+
+    ``lazy`` (valid iff 8p < 2^32, i.e. the FAST28 flavor): the stage
+    invariant is relaxed from < 2p to < 4p — the twiddle-scale sum s < 4p
+    skips its condsub, s + tw4 < 6p folds once to < 4p, and the DIF
+    butterflies run with the 4p constant (u = a+bb < 8p < 2^32 exact,
+    condsub(,4p) -> < 4p; Shoup inputs t = a + 4p - bb < 8p are in the
+    Shoup contract a < 2^32 -> out < 2p). Outputs < 4p."""
     V0u, V1u = _pair_fold_u(U)
     tw = t4c["tw"][pi]  # [5, G, 128]
     V0u = V0u.reshape(G, bt, 128)
     V1u = V1u.reshape(G, bt, 128)
     s = _shoup(V0u, tw[0][:, None, :], tw[1][:, None, :], p)
     s = s + _shoup(V1u, tw[2][:, None, :], tw[3][:, None, :], p)  # < 4p
-    s = _condsub(s, p2)
-    s = _condsub(s + tw[4][:, None, :], p2)  # < 2p
+    if lazy:
+        cstage = p2 + p2
+        s = _condsub(s + tw[4][:, None, :], p2)  # < 6p - 2p -> < 4p
+    else:
+        cstage = p2
+        s = _condsub(s, p2)
+        s = _condsub(s + tw[4][:, None, :], p2)  # < 2p
     # group-axis DIF stages (slices on the leading axis)
     for st in range(t4c["log_g"]):
         h = (G >> st) >> 1
@@ -1255,8 +1273,8 @@ def _fwd_tail_v4(U, pi, t4c, p, p2, bt, G):
         for b in range(G // m):
             a = s[b * m: b * m + h]
             bb = s[b * m + h: (b + 1) * m]
-            u = _condsub(a + bb, p2)
-            t = a + p2 - bb
+            u = _condsub(a + bb, cstage)
+            t = a + cstage - bb
             v = _shoup(t, w[b * m + h: (b + 1) * m],
                        wsh[b * m + h: (b + 1) * m], p)
             pieces.extend([u, v])
@@ -1264,9 +1282,14 @@ def _fwd_tail_v4(U, pi, t4c, p, p2, bt, G):
     return s
 
 
-def _inv_ntt_v4(y, pi, t4c, p, p2, bt, G):
-    """Inverse transform: [G, Bt, 128] u32 < 2p -> standard-domain
-    coefficients (transposed layout), canonical < p."""
+def _inv_ntt_v4(y, pi, t4c, p, p2, bt, G, lazy=False):
+    """Inverse transform: [G, Bt, 128] u32 < 2p (< 4p when ``lazy``) ->
+    standard-domain coefficients (transposed layout), canonical < p.
+
+    ``lazy`` (8p < 2^32 only): stages run with the 4p constant — inputs
+    < 4p, bw = Shoup(v) < 2p, u + bw < 6p and u + 4p - bw < 8p both fold
+    once to < 4p; the final canonical Shoup + condsub are unchanged."""
+    cstage = p2 + p2 if lazy else p2
     for st in reversed(range(t4c["log_g"])):
         h = (G >> st) >> 1
         w = t4c["gw_inv"][pi, st, 0][:, None, :]
@@ -1278,8 +1301,8 @@ def _inv_ntt_v4(y, pi, t4c, p, p2, bt, G):
             v = y[b * m + h: (b + 1) * m]
             bw = _shoup(v, w[b * m + h: (b + 1) * m],
                         wsh[b * m + h: (b + 1) * m], p)
-            pieces.append(_condsub(u + bw, p2))
-            pieces.append(_condsub(u + p2 - bw, p2))
+            pieces.append(_condsub(u + bw, cstage))
+            pieces.append(_condsub(u + cstage - bw, cstage))
         y = jnp.concatenate(pieces, axis=0)
     ti = t4c["tw_inv"][pi]
     y = _shoup(y, ti[0][:, None, :], ti[1][:, None, :], p)  # < 2p
@@ -1375,7 +1398,7 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                          tabs4: _KernelTablesV4, unroll: int = 1,
                          acc32: bool = False, ablate: str = "",
                          garner_chunk: int = 0, bnf2: bool = False,
-                         stacked: bool = False):
+                         stacked: bool = False, bnf2_flavor=None):
     log_2n = n.bit_length()
     G = tabs4.G
     P = num_primes
@@ -1393,7 +1416,19 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
         # v6: 2-prime BNF recombination constants (ops/bnf2.py is the spec)
         from . import bnf2 as bnf2_mod
 
-        assert P == 2 and primes == (bnf2_mod.P0, bnf2_mod.P1)
+        if bnf2_flavor is None:
+            bnf2_flavor = bnf2_mod.DEFAULT
+        assert P == 2 and primes == bnf2_flavor.primes, (
+            primes, bnf2_flavor.primes)
+        # lazy in-kernel reduction: 8*max(p) < 2^32 lets the forward
+        # transform enter the group stages at < 4p and (for <= 2 MAC
+        # terms) the MAC chain skip its per-term condsub (bounds in
+        # _fwd_tail_v4/_inv_ntt_v4/one_step comments)
+        lazy = bnf2_flavor.lazy
+        lazy_mac = lazy and levels * R <= 2
+    else:
+        lazy = False
+        lazy_mac = False
 
     # timing-only ablation switches (tools/v4_ablate.py): each named piece
     # is replaced by a shape/dtype-preserving stub so t_full - t_ablated
@@ -1439,52 +1474,59 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
         return (jnp.where(sign, neg_hi, pos_hi),
                 jnp.where(sign, neg_lo, pos_lo))
 
+    # flavor constants for the bnf2 tail (DEFAULT unless a custom flavor
+    # was threaded through _build_step_fn_v4; S1 + S2 = 32 so every
+    # u32-pair shift below is expressible in the two)
+    if bnf2:
+        _fl = bnf2_flavor
+        _S1, _S2 = _fl.s1, _fl.s2  # python ints: U32() inside the kernel
+
     def bnf2_c(m):
         """v6 recombination: 2-term CRT merge to x in [0, q') then the
         fixed-point switch back to the 2^64 torus (spec: ops/bnf2.py
-        ``crt2_merge`` + ``qp_to_torus``, mirrored bit for bit)."""
-        from . import bnf2 as b2
-
-        p1 = U32(b2.P1)
+        ``crt2_merge`` + ``qp_to_torus``, mirrored bit for bit; shifts
+        S1 = 64 - SHIFT, S2 = 32 - S1 from the flavor)."""
+        p1 = U32(_fl.p1)
         # v1 = (r1 - r0) * inv01 mod p1  (r0 < p0 < 2*p1: diff < 3p1)
         diff = p1 + p1 + m[1] - m[0]
-        v1 = _condsub(_shoup(diff, U32(b2.INV01), U32(b2.INV01_SH), p1),
+        v1 = _condsub(_shoup(diff, U32(_fl.inv01), U32(_fl.inv01_sh), p1),
                       p1)
         # x = r0 + p0 * v1 < q' < 2^60
-        x_hi, x_lo = _mul_hi_lo(v1, U32(b2.P0))
+        x_hi, x_lo = _mul_hi_lo(v1, U32(_fl.p0))
         nlo = x_lo + m[0]
         x_hi = x_hi + (nlo < x_lo).astype(U32)
         x_lo = nlo
-        # t = (x<<4) + ((x0*G1 + x1*G0) >> 28) + ((x1*G1) << 4) mod 2^64
-        b_hi, b_lo = _mul_hi_lo(x_lo, U32(b2.G1))
-        c_hi, c_lo = _mul_hi_lo(x_hi, U32(b2.G0))
-        d_hi, d_lo = _mul_hi_lo(x_hi, U32(b2.G1))
+        # t = (x<<S1) + ((x0*G1 + x1*G0) >> S2) + ((x1*G1) << S1) mod 2^64
+        b_hi, b_lo = _mul_hi_lo(x_lo, U32(_fl.g1))
+        c_hi, c_lo = _mul_hi_lo(x_hi, U32(_fl.g0))
+        d_hi, d_lo = _mul_hi_lo(x_hi, U32(_fl.g1))
         s_lo = b_lo + c_lo
         s_hi = b_hi + c_hi + (s_lo < b_lo).astype(U32)  # s < 2^61
-        r_lo = (s_lo >> U32(28)) | (s_hi << U32(4))
-        r_hi = s_hi >> U32(28)
+        S1, S2 = U32(_S1), U32(_S2)
+        r_lo = (s_lo >> S2) | (s_hi << S1)
+        r_hi = s_hi >> S2
         u_hi, u_lo = _add64(r_hi, r_lo,
-                            (d_hi << U32(4)) | (d_lo >> U32(28)),
-                            d_lo << U32(4))
+                            (d_hi << S1) | (d_lo >> S2),
+                            d_lo << S1)
         return _add64(u_hi, u_lo,
-                      (x_hi << U32(4)) | (x_lo >> U32(28)),
-                      x_lo << U32(4))
+                      (x_hi << S1) | (x_lo >> S2),
+                      x_lo << S1)
 
     def bnf2_c32(m):
         """acc32 v6 tail: round(CRT(m0, m1) * 2^32 / q') directly as
         ONE u32 plane (spec: ops/bnf2.py ``qp_to_torus32``, mirrored
         bit for bit) — the full 64-bit merge + switch-back collapses
-        to one Shoup multiply and one widening multiply per element."""
-        from . import bnf2 as b2
-
-        p1 = U32(b2.P1)
-        # v1 = (r1 + 2*P1 - r0) * inv01 mod p1 (diff < 3*P1 < 2^32)
+        to one Shoup multiply and one widening multiply per element.
+        The 28/4 shift pair is C1T's fixed 2^60 scale (flavor-invariant);
+        only the r0-term shift is the flavor's S2."""
+        p1 = U32(_fl.p1)
+        # v1 = (r1 + 2*p1 - r0) * inv01 mod p1 (diff < 3*p1 < 2^32)
         diff = p1 + p1 + m[1] - m[0]
-        v1 = _condsub(_shoup(diff, U32(b2.INV01), U32(b2.INV01_SH), p1),
+        v1 = _condsub(_shoup(diff, U32(_fl.inv01), U32(_fl.inv01_sh), p1),
                       p1)
-        s_hi, s_lo = _mul_hi_lo(v1, U32(b2.C1T))  # v1*C1T < 2^60
+        s_hi, s_lo = _mul_hi_lo(v1, U32(_fl.c1t))  # v1*C1T < 2^60
         t1 = (s_hi << U32(4)) | (s_lo >> U32(28))
-        return t1 + (m[0] >> U32(28)) + U32(b2.T32_BIAS)
+        return t1 + (m[0] >> U32(_S2)) + U32(_fl.t32_bias)
 
     recomb = bnf2_c if bnf2 else garner_c
 
@@ -1533,7 +1575,8 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                 dhat = [(L[:, :128].astype(I32) & I32(0xFFFF))
                         .astype(U32).reshape(G, bt, 128) for L in Ls]
             else:
-                dhat = [_fwd_ntt_v4(L, pi, t4c, p, p2, bt, G) for L in Ls]
+                dhat = [_fwd_ntt_v4(L, pi, t4c, p, p2, bt, G, lazy=lazy)
+                        for L in Ls]
             res_p = []
             for c in range(R):
                 if "mac" in abl:
@@ -1544,12 +1587,19 @@ def _make_step_kernel_v4(n, num_primes, base_log, levels, R,
                         g = bsk[0, pi, j, c][:, None, :]     # [G, 1, 128]
                         gsh = bsk[1, pi, j, c][:, None, :]
                         term = _shoup(dhat[j], g, gsh, p)
-                        acc_m = (term if acc_m is None
-                                 else _condsub(acc_m + term, p2))
+                        if acc_m is None:
+                            acc_m = term
+                        elif lazy_mac:
+                            # terms < 2p each; <= 2 of them keeps the sum
+                            # < 4p, inside the lazy inverse's invariant
+                            acc_m = acc_m + term
+                        else:
+                            acc_m = _condsub(acc_m + term, p2)
                 if "inv" in abl:
                     res_p.append(_condsub(acc_m, p))
                 else:
-                    res_p.append(_inv_ntt_v4(acc_m, pi, t4c, p, p2, bt, G))
+                    res_p.append(_inv_ntt_v4(acc_m, pi, t4c, p, p2, bt, G,
+                                             lazy=lazy))
             residues.append(res_p)
 
 
@@ -1734,7 +1784,7 @@ class _DotRef:
 @functools.lru_cache(maxsize=None)
 def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
                       unroll=1, acc32=False, ablate="", garner_chunk=0,
-                      bnf2=False, stacked=False):
+                      bnf2=False, stacked=False, bnf2_flavor=None):
     """fn(a_ms[U,1,B,1], bsk_step[U,2,P,l*R,R,G,128], acc_hi, acc_lo)
     -> (acc_hi, acc_lo), accs u32[R, G, B, 128] in group-leading transposed
     layout. acc32: single-plane accumulator (acc_u64 = hi * 2^32);
@@ -1746,11 +1796,15 @@ def _build_step_fn_v4(n, num_primes, base_log, levels, R, batch_tile,
     # be a runtime shape mismatch — fail loudly at build time instead
     assert not stacked or (acc32 and bnf2), \
         "stacked=True requires acc32=True and bnf2=True"
-    tabs4 = _get_tables_v4(n, num_primes, base_log)
+    # custom flavor (FAST28): its prime pair replaces the leading PRIMES32
+    # in the plan/tables; the stacked kernel is not flavor-aware
+    assert bnf2_flavor is None or (bnf2 and not stacked)
+    fl_primes = bnf2_flavor.primes if bnf2_flavor is not None else None
+    tabs4 = _get_tables_v4(n, num_primes, base_log, primes=fl_primes)
     kernel = _make_step_kernel_v4(n, num_primes, base_log, levels, R, tabs4,
                                   unroll=unroll, acc32=acc32, ablate=ablate,
                                   garner_chunk=garner_chunk, bnf2=bnf2,
-                                  stacked=stacked)
+                                  stacked=stacked, bnf2_flavor=bnf2_flavor)
     P = num_primes
     G = tabs4.G
     # the stacked v6 path consumes the column-concatenated forward matrix
@@ -1961,6 +2015,7 @@ def blind_rotate_pallas(
     batch_tile: int = 16,
     unroll: int = 2,
     bnf2: bool = False,
+    bnf2_flavor=None,
 ) -> jnp.ndarray:
     """Drop-in replacement for :func:`tfhe_tpu.ops.server.blind_rotate`
     (same contract) using the fused Pallas step kernel, ``unroll`` steps per
@@ -2083,7 +2138,8 @@ def blind_rotate_pallas(
         step_fn = _build_step_fn_v4(n, P, base_log, levels, R, batch_tile,
                                     unroll, acc32=use_acc32, ablate=ablate,
                                     garner_chunk=gch, bnf2=bnf2,
-                                    stacked=stacked and use_acc32)
+                                    stacked=stacked and use_acc32,
+                                    bnf2_flavor=bnf2_flavor)
     else:
         step_fn = _build_step_fn(n, P, base_log, levels, R, batch_tile,
                                  unroll, use_v2=use_v2, use_mxu=use_mxu)

@@ -667,10 +667,13 @@ def programmable_bootstrap_bnf2(
     batch_tile: int = 32,
     input_torus_bits: int = 64,
     use_pallas: bool = True,
+    flavor=None,
 ) -> jnp.ndarray:
     """Classic PBS on the 2-prime BNF transform path — the v6 TPU hot path
     (see ops/bnf2.py for the arithmetic model; reference
     ``ntt64_bnf_pbs.rs:174-260`` generalized to a 30-bit prime pair).
+    ``flavor``: a ``bnf2.Bnf2Flavor`` (None = DEFAULT; FAST28 = the v6b
+    sub-2^29 lazy-reduction pair, -2.4% rotation time).
 
     ``bsk_scan2``: u32[n, 2, 2, l*R, R, N] from
     ``bnf2.bootstrap_key_to_bnf2``, or the pre-permuted kernel-order form
@@ -681,10 +684,11 @@ def programmable_bootstrap_bnf2(
     from . import bnf2 as b2
     from . import pbs_kernel as pk
 
+    fl = flavor or b2.DEFAULT
     prepermuted = bsk_scan2.ndim == 7
     N = (bsk_scan2.shape[5] * bsk_scan2.shape[6] if prepermuted
          else bsk_scan2.shape[5])
-    plan2 = b2.get_plan2(N)
+    plan2 = fl.plan(N)
     log_modulus = N.bit_length()
     if centered_ms:
         ms_mask, ms_body = lwe_centered_binary_modulus_switch(
@@ -716,7 +720,7 @@ def programmable_bootstrap_bnf2(
             lut_b = jnp.concatenate([lut_b, lut_b[:pad]], 0)
         rotated = pk.blind_rotate_pallas(
             lut_b, ms_mask, ms_body, bsk_scan2, base_log, levels, plan2,
-            batch_tile=batch_tile, bnf2=True)
+            batch_tile=batch_tile, bnf2=True, bnf2_flavor=fl)
         if pad:
             rotated = rotated[:B]
     else:
@@ -727,7 +731,7 @@ def programmable_bootstrap_bnf2(
             bsk_scan2 = pk.kernel_order_to_bsk_scan(bsk_scan2, base_log)
         rotated = b2.blind_rotate_bnf2(
             lut_b, ms_mask, ms_body, bsk_scan2, base_log, levels,
-            acc_round32=acc32)
+            acc_round32=acc32, flavor=fl)
     out = sample_extract(rotated, extract_nth)
     return out.reshape(batch + (out.shape[-1],))
 

@@ -39,16 +39,16 @@ def use_pallas_default() -> bool:
     return jax.default_backend() != "cpu"
 
 
-#: default transform variant for the classic-PBS hot path. "v6" = the
-#: 2-prime BNF kernel (ops/bnf2.py + the v4 kernel body, reference
-#: ntt64_bnf_pbs.rs analog over a 30-bit prime pair); "v5" = the
-#: single-prime Goldilocks/BNF kernel (ops/pbs_kernel_g.py); "crt" = the
-#: exact 4-prime CRT path (v1-v4 kernels, ops/pbs_kernel.py). Override
-#: with TFHE_NTT_VARIANT; ineligible shapes (multi-bit, N outside the
-#: kernel envelope, wide decompositions) always fall back to CRT.
-#: v6 measured 1370 PBS/s vs crt/v4's 841 at batch 2048 on the v5e chip
-#: (tools/v6_tpu_check.py), production 2_2 sweep decrypt-checked.
-_DEFAULT_VARIANT = "v6"
+#: default transform variant for the classic-PBS hot path. "v6b" = the
+#: 2-prime BNF kernel over the FAST28 sub-2^29 prime pair with lazy
+#: in-kernel reduction (ops/bnf2.py Bnf2Flavor; 2,116 PBS/s, +2.4% over
+#: "v6", BENCH_HISTORY 2026-08-20); "v6" = the same kernel over the
+#: ~30-bit DEFAULT pair; "v5" = the single-prime Goldilocks/BNF kernel
+#: (ops/pbs_kernel_g.py); "crt" = the exact 4-prime CRT path (v1-v4
+#: kernels, ops/pbs_kernel.py). Override with TFHE_NTT_VARIANT;
+#: ineligible shapes (multi-bit, N outside the kernel envelope, wide
+#: decompositions) and noise-margin failures fall back v6b -> v6 -> crt.
+_DEFAULT_VARIANT = "v6b"
 
 
 def variant_noise_margin_ok(p, variant: str, margin: float = 0.05) -> bool:
@@ -72,11 +72,13 @@ def variant_noise_margin_ok(p, variant: str, margin: float = 0.05) -> bool:
     exact = nf.blind_rotate_additive_variance_exact(
         p.lwe_dimension, p.glwe_dimension, p.polynomial_size,
         p.pbs_base_log, p.pbs_level, bsk_var_torus)
+    mod = {"v6": float(b2.QP), "v6b": float(b2.FAST28.qp)}.get(
+        variant, float(gl.P))
     extra = nf.bnf_blind_rotate_extra_variance(
         p.lwe_dimension, p.glwe_dimension, p.polynomial_size,
         p.pbs_base_log, p.pbs_level,
-        transform_modulus=float(b2.QP if variant == "v6" else gl.P),
-        acc32=(variant == "v6"
+        transform_modulus=mod,
+        acc32=(variant in ("v6", "v6b")
                and os.environ.get("TFHE_V4_ACC", "32") == "32"))
     return extra <= margin * exact
 
@@ -92,10 +94,15 @@ def resolve_variant(poly_size: int, pbs_base_log: int, pbs_levels: int,
     from ..ops import pbs_kernel_g as pkg
 
     v = os.environ.get("TFHE_NTT_VARIANT", _DEFAULT_VARIANT)
-    if (v == "v6" and not grouping
-            and b2.eligible(poly_size, pbs_base_log, pbs_levels)
-            and (params is None or variant_noise_margin_ok(params, "v6"))):
-        return "v6"
+    if (v in ("v6", "v6b") and not grouping
+            and b2.eligible(poly_size, pbs_base_log, pbs_levels)):
+        if params is None or variant_noise_margin_ok(params, v):
+            return v
+        # v6b's larger (2^-57) rescale noise may fail a tight budget the
+        # DEFAULT-pair v6 still passes: degrade one notch before crt
+        if (v == "v6b" and params is not None
+                and variant_noise_margin_ok(params, "v6")):
+            return "v6"
     if (v == "v5" and not grouping
             and pkg.eligible(poly_size, pbs_base_log, pbs_levels)
             and (params is None or variant_noise_margin_ok(params, "v5"))):
@@ -127,12 +134,16 @@ def _get_ks_pbs_fn(key_shape_sig, ks_base_log, ks_levels, pbs_base_log, pbs_leve
     plan = ntt_mod.get_plan(poly_size, num_primes)
     in_bits = 32 if ks32 else 64
 
-    if variant == "v6" and not grouping:
+    if variant in ("v6", "v6b") and not grouping:
+        from ..ops import bnf2 as _b2
+
+        _fl = _b2.FAST28 if variant == "v6b" else _b2.DEFAULT
+
         def _pbs(ct_small, lut_acc, bsk):
             return server_ops.programmable_bootstrap_bnf2(
                 ct_small, lut_acc, bsk, pbs_base_log, pbs_levels,
                 centered_ms=centered_ms, input_torus_bits=in_bits,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, flavor=_fl,
             )
     elif variant == "v5" and not grouping:
         def _pbs(ct_small, lut_acc, bsk):
@@ -262,41 +273,55 @@ class ServerKey:
             cached = self._bsk_g_cache
         return cached
 
-    @property
-    def bsk_scan_b(self) -> Any:
-        """v6 2-prime BNF BSK u32[n, 2, 2, l*R, R, N], derived lazily and
-        EXACTLY from the stored CRT form (see ``bsk_scan_g``)."""
-        cached = getattr(self, "_bsk_b_cache", None)
-        if cached is None:
-            from ..ops import bnf2 as b2
+    def _bsk_b(self, flavor=None) -> Any:
+        """v6/v6b 2-prime BNF BSK u32[n, 2, 2, l*R, R, N] for the given
+        ``bnf2.Bnf2Flavor`` (None = DEFAULT), derived lazily and EXACTLY
+        from the stored CRT form (see ``bsk_scan_g``)."""
+        from ..ops import bnf2 as b2
 
+        fl = flavor or b2.DEFAULT
+        caches = getattr(self, "_bsk_b_caches", None)
+        if caches is None:
+            caches = {}
+            object.__setattr__(self, "_bsk_b_caches", caches)
+        key = fl.primes
+        if caches.get(key) is None:
             res = self.bsk_hat[0].astype("uint64")  # [P, n, l, R, R, N]
             std = self._plan.reconstruct_u64(self._plan.inv(res))
-            object.__setattr__(self, "_bsk_b_cache",
-                               b2.bootstrap_key_to_bnf2(std))
-            cached = self._bsk_b_cache
-        return cached
+            caches[key] = b2.bootstrap_key_to_bnf2(std, flavor=fl)
+        return caches[key]
+
+    @property
+    def bsk_scan_b(self) -> Any:
+        """DEFAULT-flavor v6 BSK (back-compat property)."""
+        return self._bsk_b()
+
+    def _bsk_b_k(self, flavor=None) -> Any:
+        """v6/v6b BSK pre-permuted to the kernel's frequency order
+        u32[n, 2, 2, l*R, R, G, 128] (``pbs_kernel.bsk_scan_to_kernel_order``
+        — the permutation depends only on N, so it is flavor-agnostic).
+        Hoists a whole-key gather out of the jitted rotation; the
+        spec-layout copy is dropped after conversion (exactly recoverable)
+        to avoid holding two whole keys in HBM."""
+        from ..ops import bnf2 as b2
+        from ..ops.pbs_kernel import bsk_scan_to_kernel_order
+
+        fl = flavor or b2.DEFAULT
+        caches = getattr(self, "_bsk_bk_caches", None)
+        if caches is None:
+            caches = {}
+            object.__setattr__(self, "_bsk_bk_caches", caches)
+        key = fl.primes
+        if caches.get(key) is None:
+            caches[key] = bsk_scan_to_kernel_order(
+                self._bsk_b(fl), self.params.pbs_base_log)
+            self._bsk_b_caches[key] = None  # free the spec-layout copy
+        return caches[key]
 
     @property
     def bsk_scan_b_k(self) -> Any:
-        """v6 BSK pre-permuted to the kernel's frequency order
-        u32[n, 2, 2, l*R, R, G, 128] (``pbs_kernel.bsk_scan_to_kernel_order``).
-        Left inside the jitted rotation, that whole-key gather costs a
-        measured 0.18 us/ct-step — 24% of the v6 step — so production keys
-        pay it once here at key-prep time. The spec-layout copy is dropped
-        after conversion (exactly recoverable via the inverse permutation)
-        to avoid holding two whole keys in HBM."""
-        cached = getattr(self, "_bsk_bk_cache", None)
-        if cached is None:
-            from ..ops.pbs_kernel import bsk_scan_to_kernel_order
-
-            object.__setattr__(
-                self, "_bsk_bk_cache",
-                bsk_scan_to_kernel_order(self.bsk_scan_b,
-                                         self.params.pbs_base_log))
-            object.__setattr__(self, "_bsk_b_cache", None)
-            cached = self._bsk_bk_cache
-        return cached
+        """DEFAULT-flavor kernel-order v6 BSK (back-compat property)."""
+        return self._bsk_b_k()
 
     @property
     def _drift(self):
@@ -316,9 +341,12 @@ class ServerKey:
         compiled ks_pbs/pbs_only pipelines expect as their ``bsk`` arg).
         Drift-MS parameter sets get a (bsk, modulus_switch_zeros) tuple."""
         v = self.ntt_variant
-        if v == "v6":
-            base = (self.bsk_scan_b_k if use_pallas_default()
-                    else self.bsk_scan_b)
+        if v in ("v6", "v6b"):
+            from ..ops import bnf2 as b2
+
+            fl = b2.FAST28 if v == "v6b" else b2.DEFAULT
+            base = (self._bsk_b_k(fl) if use_pallas_default()
+                    else self._bsk_b(fl))
         else:
             base = self.bsk_scan_g if v == "v5" else self.bsk_scan
         if self._drift is not None:

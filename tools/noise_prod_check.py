@@ -45,7 +45,7 @@ def main():
     t0 = time.time()
     ck = ClientKey.generate(P, seed=20260820)
     sk = ServerKey.generate(ck)
-    assert sk.ntt_variant == "v6", sk.ntt_variant
+    assert sk.ntt_variant in ("v6", "v6b"), sk.ntt_variant
 
     mm = P.message_modulus
     msgs = (np.arange(args.batch) % mm).astype(np.uint64)
@@ -65,14 +65,16 @@ def main():
     exact = nf.blind_rotate_additive_variance_exact(
         P.lwe_dimension, P.glwe_dimension, P.polynomial_size,
         P.pbs_base_log, P.pbs_level, bsk_var)
+    qp = b2.FAST28.qp if sk.ntt_variant == "v6b" else b2.QP
     extra = nf.bnf_blind_rotate_extra_variance(
         P.lwe_dimension, P.glwe_dimension, P.polynomial_size,
-        P.pbs_base_log, P.pbs_level, float(b2.QP), acc32=True)
+        P.pbs_base_log, P.pbs_level, float(qp), acc32=True)
     pred = exact + extra
     ratio = emp_var / pred
 
     rec = {
         "metric": "v6_prod_noise_validation",
+        "variant": sk.ntt_variant,
         "params": P.name,
         "backend": jax.default_backend(),
         "samples": int(args.batch),
